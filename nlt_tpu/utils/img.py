@@ -1,0 +1,196 @@
+"""Image ops used across the framework — device (JAX) and host (numpy) paths.
+
+Replaces the reference's nlt/util/img.py. Device-side functions are pure JAX
+(jit/vmap/grad-safe, static shapes); host-side helpers take numpy arrays.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import logging as logutil
+
+logger = logutil.Logger(loggee="utils/img")
+
+
+# ---- blending / corner trick ----
+
+def alpha_blend(t1, alpha, t2=None):
+    """t1 * alpha + t2 * (1 - alpha); t2 defaults to zeros
+    (reference: nlt/util/img.py:74-89). Works for JAX and numpy inputs."""
+    xp = jnp if isinstance(t1, jnp.ndarray) else np
+    if t2 is None:
+        return t1 * alpha
+    return xp.multiply(t1, alpha) + xp.multiply(t2, 1 - alpha)
+
+
+def set_left_top_corner(x, val=0.0):
+    """Force pixel (0, 0) of every image in an NHWC batch to `val`.
+
+    Background texels carry a (0, 0) warp target, so the resampler reads the
+    background color from the top-left corner; zeroing it makes backgrounds
+    black (reference: nlt/util/img.py:179-185, nlt/models/nlt.py:107-111).
+    Implemented as a multiplicative/additive mask, which is jit- and
+    grad-friendly (no scatter).
+    """
+    mask = jnp.ones((1, x.shape[1], x.shape[2], 1), x.dtype)
+    mask = mask.at[:, 0, 0, :].set(0.0)
+    y = x * mask
+    if val != 0.0:
+        add = jnp.zeros_like(mask).at[:, 0, 0, :].set(val)
+        y = y + add
+    return y
+
+
+# ---- resize ----
+
+def resize(x, new_h=None, new_w=None, method="linear"):
+    """Bilinear resize of NHWC (JAX) or HxW(xC) (numpy) images, with
+    aspect-ratio-preserving defaulting like the reference
+    (reference: nlt/util/img.py:92-120).
+    """
+    is_jax = isinstance(x, jnp.ndarray)
+    if is_jax and x.ndim == 4:
+        h, w = x.shape[1], x.shape[2]
+    else:
+        h, w = x.shape[0], x.shape[1]
+
+    if new_h is not None and new_w is not None:
+        if int(h / w * new_w) != new_h:
+            logger.warn(
+                "Aspect ratio changed in resizing: original %s; new %s",
+                (h, w), (new_h, new_w))
+    elif new_h is None and new_w is not None:
+        new_h = int(h / w * new_w)
+    elif new_h is not None and new_w is None:
+        new_w = int(w / h * new_h)
+    else:
+        raise ValueError("At least one of new height or width must be given")
+
+    if is_jax and x.ndim == 4:
+        if (new_h, new_w) == (h, w):
+            return x
+        out_shape = (x.shape[0], new_h, new_w, x.shape[3])
+        return jax.image.resize(x, out_shape, method=method)
+    # Host path
+    xn = np.asarray(x, dtype=np.float32)
+    squeeze = xn.ndim == 2
+    if squeeze:
+        xn = xn[:, :, None]
+    out = np.asarray(jax.image.resize(
+        jnp.asarray(xn), (new_h, new_w, xn.shape[2]), method=method))
+    if squeeze:
+        out = out[:, :, 0]
+    return out
+
+
+def upsample2x(x):
+    """2x bilinear upsampling of NHWC, matching
+    tf.keras.layers.UpSampling2D(interpolation='bilinear') semantics
+    (reference: nlt/networks/elements.py:42-48)."""
+    n, h, w, c = x.shape
+    return jax.image.resize(x, (n, 2 * h, 2 * w, c), method="linear")
+
+
+# ---- color ----
+
+_SRGB_LINEAR_THRES = 0.0031308
+_SRGB_LINEAR_COEFF = 12.92
+_SRGB_EXP_COEFF = 1.055
+_SRGB_EXPONENT = 2.4
+
+
+def linear2srgb(x):
+    """Linear -> sRGB transfer for [0,1] inputs
+    (reference: nlt/util/img.py:123-148)."""
+    xp = jnp if isinstance(x, jnp.ndarray) else np
+    x = xp.clip(x, 0.0, 1.0)
+    linear = x * _SRGB_LINEAR_COEFF
+    # Clamp the pow input away from 0 so the gradient is finite at x == 0.
+    safe_x = xp.maximum(x, 1e-12) if xp is jnp else x
+    nonlinear = _SRGB_EXP_COEFF * (
+        safe_x ** (1.0 / _SRGB_EXPONENT)) - (_SRGB_EXP_COEFF - 1.0)
+    return xp.where(x <= _SRGB_LINEAR_THRES, linear, nonlinear)
+
+
+def srgb2linear(x):
+    xp = jnp if isinstance(x, jnp.ndarray) else np
+    x = xp.clip(x, 0.0, 1.0)
+    linear = x / _SRGB_LINEAR_COEFF
+    nonlinear = ((x + (_SRGB_EXP_COEFF - 1.0)) / _SRGB_EXP_COEFF) \
+        ** _SRGB_EXPONENT
+    return xp.where(x <= _SRGB_LINEAR_THRES * _SRGB_LINEAR_COEFF,
+                    linear, nonlinear)
+
+
+# BT.601 RGB->YUV, the same matrix tf.image.rgb_to_yuv uses, which the
+# reference leans on for UVL2 and the sYUV robust-loss color space
+# (reference: third_party/robust_loss/util.py:96-133).
+_RGB2YUV = np.array([
+    [0.299, 0.587, 0.114],
+    [-0.14714119, -0.28886916, 0.43601035],
+    [0.61497538, -0.51496512, -0.10001026]], dtype=np.float32).T
+
+_YUV2RGB = np.linalg.inv(_RGB2YUV.astype(np.float64)).astype(np.float32)
+
+
+def rgb_to_yuv(x):
+    return x @ jnp.asarray(_RGB2YUV, x.dtype)
+
+
+def yuv_to_rgb(x):
+    return x @ jnp.asarray(_YUV2RGB, x.dtype)
+
+
+def to_uint(x_0to1, dtype=np.uint8):
+    x = np.clip(np.asarray(x_0to1), 0, 1)
+    return (x * np.iinfo(dtype).max).astype(dtype)
+
+
+# ---- filtering ----
+
+def gaussian_kernel(sigma, kernel_size=None):
+    if kernel_size is None:
+        kernel_size = int(6 * sigma)
+    x = np.arange(-kernel_size // 2 + 1.0, kernel_size // 2 + 1.0)
+    xx, yy = np.meshgrid(x, x)
+    k = np.exp(-(xx ** 2 + yy ** 2) / (2.0 * sigma ** 2))
+    return (k / k.sum()).astype(np.float32)
+
+
+def gaussian_blur(x, sigma, kernel_size=None):
+    """Depthwise Gaussian blur of NHWC (reference: nlt/util/img.py:30-55).
+    XLA maps the depthwise conv onto the MXU via feature_group_count."""
+    k = jnp.asarray(gaussian_kernel(sigma, kernel_size), x.dtype)
+    c = x.shape[3]
+    # HWIO with feature_group_count=C: kernel (kh, kw, 1, C)
+    kern = jnp.tile(k[:, :, None, None], (1, 1, 1, c))
+    return jax.lax.conv_general_dilated(
+        x, kern, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c)
+
+
+# ---- host-side composition helpers (vis only) ----
+
+def hconcat(img_list, out_w=None):
+    total = []
+    for img in img_list:
+        img = np.asarray(img)
+        if total:
+            prev = total[-1]
+            if img.shape[0] != prev.shape[0]:
+                img = resize(img, new_h=prev.shape[0])
+        total.append(img)
+    out = np.hstack(total)
+    if out_w is not None:
+        out = resize(out, new_w=out_w)
+    return out
+
+
+def frame_image(img, rgb=(0, 0, 1), width=4):
+    img = np.array(img)
+    val = np.array(rgb, dtype=img.dtype) * np.iinfo(img.dtype).max
+    img[:width], img[-width:] = val, val
+    img[:, :width], img[:, -width:] = val, val
+    return img

@@ -1,0 +1,110 @@
+"""Resampler tests: identity warp, bilinear correctness vs scipy
+map_coordinates, zero boundary semantics, and gradient checks vs finite
+differences (M2 contract; reference op: tfa.image.resampler used at
+nlt/models/nlt.py:112-115)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nlt_tpu.ops import resample
+
+jax.config.update("jax_enable_x64", True)
+
+
+def _identity_warp(h, w, n=1):
+    xs, ys = np.meshgrid(np.arange(w), np.arange(h))
+    warp = np.stack([xs, ys], axis=-1).astype(np.float64)
+    return np.tile(warp[None], (n, 1, 1, 1))
+
+
+def test_identity_warp(rng):
+    img = rng.uniform(0, 1, (2, 8, 8, 3))
+    warp = _identity_warp(8, 8, 2)
+    out = resample.resample(jnp.asarray(img), jnp.asarray(warp))
+    np.testing.assert_allclose(out, img, atol=1e-12)
+
+
+def test_matches_map_coordinates(rng):
+    from scipy.ndimage import map_coordinates
+    img = rng.uniform(0, 1, (6, 7))
+    warp_x = rng.uniform(0, 6, (5, 5))
+    warp_y = rng.uniform(0, 5, (5, 5))
+    warp = np.stack([warp_x, warp_y], axis=-1)
+    out = resample.resample(
+        jnp.asarray(img[None, :, :, None]),
+        jnp.asarray(warp[None]))[0, :, :, 0]
+    expect = map_coordinates(img, [warp_y, warp_x], order=1, mode="constant")
+    np.testing.assert_allclose(out, expect, atol=1e-10)
+
+
+def test_zero_outside(rng):
+    img = rng.uniform(0.5, 1, (1, 4, 4, 1))
+    warp = np.full((1, 2, 2, 2), 100.0)
+    out = resample.resample(jnp.asarray(img), jnp.asarray(warp))
+    np.testing.assert_array_equal(np.asarray(out), 0.0)
+    warp_neg = np.full((1, 2, 2, 2), -5.0)
+    out2 = resample.resample(jnp.asarray(img), jnp.asarray(warp_neg))
+    np.testing.assert_array_equal(np.asarray(out2), 0.0)
+
+
+def test_partial_boundary_contribution():
+    """A query at x=-0.5 on row 0 should get half the first column's value
+    (zero padding outside)."""
+    img = np.ones((1, 4, 4, 1))
+    warp = np.zeros((1, 1, 1, 2))
+    warp[0, 0, 0] = [-0.5, 0.0]
+    out = resample.resample(jnp.asarray(img), jnp.asarray(warp))
+    np.testing.assert_allclose(float(out[0, 0, 0, 0]), 0.5, atol=1e-12)
+
+
+def test_grad_wrt_image_matches_fd(rng):
+    img = rng.uniform(0, 1, (1, 5, 5, 1))
+    warp = np.stack([
+        rng.uniform(0.2, 3.8, (1, 4, 4)),
+        rng.uniform(0.2, 3.8, (1, 4, 4))], axis=-1)
+
+    def f(im):
+        return jnp.sum(resample.resample(im, jnp.asarray(warp)) ** 2)
+
+    g = np.asarray(jax.grad(f)(jnp.asarray(img)))
+    eps = 1e-6
+    for idx in [(0, 0, 0, 0), (0, 2, 3, 0), (0, 4, 4, 0)]:
+        p = img.copy()
+        p[idx] += eps
+        m = img.copy()
+        m[idx] -= eps
+        fd = (float(f(jnp.asarray(p))) - float(f(jnp.asarray(m)))) / (2 * eps)
+        np.testing.assert_allclose(g[idx], fd, rtol=1e-5, atol=1e-8)
+
+
+def test_grad_wrt_warp_matches_fd(rng):
+    img = rng.uniform(0, 1, (1, 5, 5, 2))
+    warp = np.stack([
+        rng.uniform(0.3, 3.7, (1, 3, 3)),
+        rng.uniform(0.3, 3.7, (1, 3, 3))], axis=-1)
+    # Keep away from integer coords where bilinear grad is discontinuous.
+    warp = np.where(np.abs(warp - np.round(warp)) < 0.05, warp + 0.1, warp)
+
+    def f(w):
+        return jnp.sum(resample.resample(jnp.asarray(img), w) ** 2)
+
+    g = np.asarray(jax.grad(f)(jnp.asarray(warp)))
+    eps = 1e-7
+    for idx in [(0, 0, 0, 0), (0, 1, 2, 1), (0, 2, 2, 0)]:
+        p = warp.copy()
+        p[idx] += eps
+        m = warp.copy()
+        m[idx] -= eps
+        fd = (float(f(jnp.asarray(p))) - float(f(jnp.asarray(m)))) / (2 * eps)
+        np.testing.assert_allclose(g[idx], fd, rtol=1e-4, atol=1e-8)
+
+
+def test_batch_independence(rng):
+    imgs = rng.uniform(0, 1, (3, 6, 6, 2))
+    warps = np.stack([_identity_warp(6, 6)[0]] * 3)
+    warps[1] += 0.5
+    out = np.asarray(resample.resample(jnp.asarray(imgs), jnp.asarray(warps)))
+    out0 = np.asarray(resample.resample(
+        jnp.asarray(imgs[:1]), jnp.asarray(warps[:1])))
+    np.testing.assert_allclose(out[0], out0[0], atol=1e-12)
