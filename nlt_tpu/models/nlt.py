@@ -1,0 +1,380 @@
+"""The NLT model: dual-path (query + observation) U-Net over UV space,
+residual over the diffuse base, differentiable UV->camera warp, loss in
+camera space.
+
+Functional JAX re-design of the reference model (reference:
+nlt/models/nlt.py:38-342). Dataflow kept exactly:
+
+- query input  x = concat(base, cvis, lvis)           (:95)
+- obs input    y_obs = [nn_rgb - nn_base]             (:96, one neighbor)
+- interleaved dual U-Net: at every contracting stage the obs path runs
+  its stage, the per-observation features are mean-aggregated, the query
+  stage output is concatenated with the aggregate, and the result is
+  pushed on the skip stack; expanding stages pop and concat (:141-199);
+- obs_override substitutes the aggregated obs features at inference
+  (:172-173, driven by nlt_test's feature-averaging);
+- prediction is a residual over the diffuse base when
+  skip_connect_base (:99-102);
+- warp scaled by (uvw, uvh), top-left corner blacked out, resample to
+  camera space, resize to (imh, imw) (:104-120);
+- train/vali returns gt_camspc = alpha_blend(rgb_camspc, fg_camspc)
+  (:132-137).
+
+TPU-first: `apply` is pure (params, batch) -> outputs with static shapes,
+so the whole model jits into one XLA program; the resampler is this
+module's only gather (ops/resample). The host-side vis path mirrors the
+reference's artifacts (pngs, APNG pairs, metadata JSON with PSNRs, HTML
+gallery, test-time video).
+"""
+
+import os
+from glob import glob
+from os.path import join, exists
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import losses as losses_mod
+from ..metrics import PSNR
+from ..networks import convnet
+from ..ops import resample as resample_mod
+from ..utils import img as imgutil
+from ..utils import io as ioutil
+from ..utils import logging as logutil
+from ..vis import html as htmlutil
+from ..vis import video as videoutil
+from .base import Model as BaseModel
+
+logger = logutil.Logger(loggee="models/nlt")
+
+# Channel counts of the fixed inputs: query = base(3) + cvis(1) + lvis(1);
+# obs = nn_rgb - nn_base (3).
+QUERY_IN_CH = 5
+OBS_IN_CH = 3
+
+
+class Model(BaseModel):
+    def __init__(self, config):
+        self.imh = config.get_int("imh")
+        self.imw = config.get_int("imw")
+        super().__init__(config)
+        depth0 = config.get_int("depth0")
+        depth = config.get_int("depth")
+        kernel = config.get_int("kernel")
+        stride = config.get_int("stride")
+        norm = config.get_or_none("norm")
+        act = config.get("act")
+        pool = config.get_or_none("pool")
+        net_kwargs = {"norm_type": norm, "act_type": act, "pool_type": pool}
+        self.net = {
+            "query": convnet.Network(
+                depth0, depth, kernel, stride, **net_kwargs),
+            "obs": convnet.Network(
+                depth0, depth, kernel, stride, **net_kwargs),
+        }
+        # The obs path keeps only contracting stages
+        # (reference: nlt/models/nlt.py:57-59).
+        obs = self.net["obs"]
+        keep = [i for i, c in enumerate(obs.is_contracting) if c]
+        obs.stages = [obs.stages[i] for i in keep]
+        obs.is_contracting = [True] * len(keep)
+
+        self.uvh = config.get_int("uvh")
+        self.uvw = config.get_int("uvw")
+        self.use_obs = config.get_bool("use_obs")
+        self.skip_connect_base = config.get_bool("skip_connect_base")
+        self.resample_impl = config.get("resample_impl", "xla")
+        self.psnr = PSNR(np.float32)
+
+    def _init_loss(self):
+        """Barron needs image dims, so override the base
+        (reference: nlt/models/nlt.py:66-87)."""
+        loss_str = self.config.get("loss")
+        return losses_mod.build_losses(
+            loss_str, config=self.config,
+            imh=self.config.get_int("imh"), imw=self.config.get_int("imw"))
+
+    # ---- parameters ----
+
+    def init_params(self, key):
+        """Channel bookkeeping must mirror apply()'s interleaved dataflow:
+        contracting query stages consume [query_out + obs_out] channels
+        when use_obs, expanding stages consume [prev_out + skip] channels.
+        """
+        k_query, k_obs = jax.random.split(key)
+        query = self.net["query"]
+        obs = self.net["obs"]
+
+        query_params = [None] * len(query.stages)
+        obs_params = [None] * len(obs.stages)
+
+        obs_ch = OBS_IN_CH
+        q_ch = QUERY_IN_CH
+        skip_chs = []
+        obs_i = 0
+        for i, (stage, contracting) in enumerate(
+                zip(query.stages, query.is_contracting)):
+            if contracting:
+                k_obs, sub = jax.random.split(k_obs)
+                obs_params[obs_i], obs_out = obs.stages[obs_i].init(
+                    sub, obs_ch)
+                obs_ch = obs_out
+                obs_i += 1
+
+                k_query, sub = jax.random.split(k_query)
+                query_params[i], q_out = stage.init(sub, q_ch)
+                if self.use_obs:
+                    q_ch = q_out + obs_out
+                else:
+                    q_ch = q_out
+                skip_chs.append(q_ch)
+            else:
+                if skip_chs:
+                    q_ch = q_ch + skip_chs.pop()
+                k_query, sub = jax.random.split(k_query)
+                query_params[i], q_out = stage.init(sub, q_ch)
+                q_ch = q_out
+
+        return {
+            "net": {"query": query_params, "obs": obs_params},
+            "loss": self.init_loss_params(),
+        }
+
+    # ---- forward ----
+
+    def apply(self, params, batch, mode, obs_override=None):
+        """batch: dict with array fields base, cvis, lvis, warp, rgb,
+        rgb_camspc, nn_base, nn_rgb, nn_rgb_camspc (NHWC float32); host
+        metadata (id, nn_id) is carried outside the jitted path."""
+        self._validate_mode(mode)
+        base = batch["base"]
+        cvis = batch["cvis"]
+        lvis = batch["lvis"]
+        warp = batch["warp"]
+        rgb_camspc = batch["rgb_camspc"]
+
+        x = jnp.concatenate((base, cvis, lvis), axis=3)
+        y_obs = [batch["nn_rgb"] - batch["nn_base"]]  # one neighbor
+
+        pred = self._apply_unet(
+            params["net"], x, y_obs, obs_override=obs_override)
+        if self.skip_connect_base:
+            pred = pred + base
+
+        # Scale normalized warp to source-pixel units
+        # (reference: nlt/models/nlt.py:104-106).
+        warp = jnp.stack(
+            (warp[:, :, :, 0] * self.uvw, warp[:, :, :, 1] * self.uvh),
+            axis=3)
+
+        fg = jnp.ones(pred.shape, pred.dtype)
+        fg = imgutil.set_left_top_corner(fg, 0.0)
+        base_c = imgutil.set_left_top_corner(base, 0.0)
+        pred_c = imgutil.set_left_top_corner(pred, 0.0)
+
+        fg_camspc = resample_mod.resample(
+            fg, warp, impl=self.resample_impl)
+        base_camspc = resample_mod.resample(
+            base_c, warp, impl=self.resample_impl)
+        pred_camspc = resample_mod.resample(
+            pred_c, warp, impl=self.resample_impl)
+
+        fg_camspc = imgutil.resize(fg_camspc, self.imh, self.imw)
+        base_camspc = imgutil.resize(base_camspc, self.imh, self.imw)
+        pred_camspc = imgutil.resize(pred_camspc, self.imh, self.imw)
+
+        to_vis = {
+            "base_camspc": base_camspc,
+            "pred": pred,
+            "pred_camspc": pred_camspc,
+            "nn_camspc": batch["nn_rgb_camspc"],
+        }
+        if mode in ("train", "vali"):
+            gt_camspc = imgutil.alpha_blend(rgb_camspc, fg_camspc)
+            to_vis["gt"] = batch["rgb"]
+            to_vis["gt_camspc"] = gt_camspc
+            return pred_camspc, gt_camspc, {}, to_vis
+        return pred_camspc, None, None, to_vis
+
+    def _apply_unet(self, net_params, query_x, obs_xs, obs_weights=None,
+                    obs_override=None):
+        """The interleaved dual U-Net (reference: nlt/models/nlt.py:141-199).
+
+        obs_override: optional list with one entry per contracting stage
+        (an (N, H, W, C) aggregated feature map) substituting obs_agg.
+        """
+        query = self.net["query"]
+        obs = self.net["obs"]
+        q_params = net_params["query"]
+        o_params = net_params["obs"]
+        if obs_weights is not None:
+            obs_weights = obs_weights.reshape(
+                obs_weights.shape[0], 1, 1, 1, -1)
+
+        query_featmaps = []
+        obs_i = 0
+        query_y = None
+        for i, (stage, contracting) in enumerate(
+                zip(query.stages, query.is_contracting)):
+            if contracting:
+                obs_ys = [
+                    obs.stages[obs_i].apply(o_params[obs_i], t)
+                    for t in obs_xs]
+                # Mean-aggregate observation features
+                # (reference: nlt/models/nlt.py:161-164).
+                obs_agg = jnp.stack(obs_ys, axis=-1)
+                if obs_weights is not None:
+                    obs_agg = obs_weights * obs_agg
+                obs_agg = jnp.mean(obs_agg, axis=-1)
+                obs_xs = obs_ys
+                obs_i += 1
+
+                query_y = stage.apply(q_params[i], query_x)
+                if self.use_obs:
+                    if obs_override is not None:
+                        obs_agg = obs_override[i]
+                    query_x = jnp.concatenate((query_y, obs_agg), axis=-1)
+                else:
+                    query_x = query_y
+                query_featmaps.append(query_x)
+            else:
+                if query_featmaps:
+                    enc = query_featmaps.pop()
+                    query_x = jnp.concatenate((query_x, enc), axis=-1)
+                query_y = stage.apply(q_params[i], query_x)
+                query_x = query_y
+        return query_y
+
+    def extract_obs_features(self, net_params, x):
+        """Run x through the obs path, returning every stage's feature map
+        (the pyramid nlt_test averages; reference: nlt_test.py:97-127)."""
+        obs = self.net["obs"]
+        feats = []
+        for i in range(len(obs.stages)):
+            x = obs.stages[i].apply(net_params["obs"][i], x)
+            feats.append(x)
+        return feats
+
+    # ---- visualization (host-side) ----
+
+    def vis_batch(self, data_dict, outdir, mode, dump_raw_to=None,
+                  text_loc_ratio=0.05, text_size_ratio=0.05,
+                  text_color=(1, 1, 1)):
+        """Write per-sample pngs, APNG comparisons, and metadata JSON with
+        PSNRs (reference: nlt/models/nlt.py:207-272)."""
+        is_linear = self.config.get_bool("linear_space")
+        self._validate_mode(mode)
+        os.makedirs(outdir, exist_ok=True)
+        ids = [str(x) for x in data_dict["id"]]
+        nn_ids = [str(x) for x in data_dict["nn_id"]]
+        bases = np.asarray(data_dict["base_camspc"])
+        preds = np.asarray(data_dict["pred_camspc"])
+        nns = np.asarray(data_dict["nn_camspc"])
+        gts = None if mode == "test" else np.asarray(data_dict["gt_camspc"])
+
+        for i in range(len(ids)):
+            imgs = {}
+            base = np.clip(bases[i], 0, 1)
+            pred = np.clip(preds[i], 0, 1)
+            nn = np.clip(nns[i], 0, 1)
+            gt = None if gts is None else np.clip(gts[i], 0, 1)
+            if is_linear:
+                base = imgutil.linear2srgb(base)
+                pred = imgutil.linear2srgb(pred)
+                nn = imgutil.linear2srgb(nn)
+                gt = None if gt is None else imgutil.linear2srgb(gt)
+            imgs["base"] = ioutil.write_img(
+                base, join(outdir, "%d_base.png" % i))
+            imgs["pred"] = ioutil.write_img(
+                pred, join(outdir, "%d_pred.png" % i))
+            ioutil.write_img(nn, join(outdir, "%d_nn.png" % i))
+            imgs["gt"] = None if gt is None else ioutil.write_img(
+                gt, join(outdir, "%d_gt.png" % i))
+
+            hw = base.shape[:2]
+            label_loc = (int(text_loc_ratio * hw[1]),
+                         int(text_loc_ratio * hw[0]))
+            font_size = int(text_size_ratio * hw[0])
+            videoutil.make_apng(
+                (imgs["base"], imgs["pred"]),
+                labels=("Diffuse Base", "Prediction"),
+                label_top_left_xy=label_loc, font_size=font_size,
+                font_color=text_color,
+                outpath=join(outdir, "%d_base-vs-pred.apng" % i))
+            if imgs["gt"] is not None:
+                videoutil.make_apng(
+                    (imgs["gt"], imgs["pred"]),
+                    labels=("Ground Truth", "Prediction"),
+                    label_top_left_xy=label_loc, font_size=font_size,
+                    font_color=text_color,
+                    outpath=join(outdir, "%d_gt-vs-pred.apng" % i))
+
+        for i, id_ in enumerate(ids):
+            metadata = {"id": id_, "nn_id": nn_ids[i]}
+            if gts is not None:
+                pred = np.clip(preds[i], 0, 1)
+                base = np.clip(bases[i], 0, 1)
+                gt = np.clip(gts[i], 0, 1)
+                metadata["pred_psnr"] = self.psnr(gt, pred)
+                metadata["base_psnr"] = self.psnr(gt, base)
+            ioutil.write_json(metadata, join(outdir, "%d_metadata.json" % i))
+
+        if dump_raw_to is not None:
+            raw = {k: np.asarray(v) if not isinstance(v, list) else v
+                   for k, v in data_dict.items()}
+            ioutil.write_pickle(raw, dump_raw_to)
+
+    def compile_batch_vis(self, batch_vis_dirs, outpref, mode, fps=6):
+        """HTML gallery for train/vali, mp4/apng video for test
+        (reference: nlt/models/nlt.py:274-342)."""
+        self._validate_mode(mode)
+        if mode in ("train", "vali"):
+            outpath = outpref + ".html"
+            self._compile_into_webpage(
+                batch_vis_dirs, outpath, title="NLT (%s)" % mode)
+        else:
+            outpath = outpref + ".mp4"
+            outpath = self._compile_into_video(
+                batch_vis_dirs, outpath, fps=fps)
+        return outpath
+
+    @staticmethod
+    def _compile_into_webpage(batch_dirs, out_html, title=None):
+        rows, caps, types = [], [], []
+        for batch_dir in batch_dirs:
+            for metadata_path in sorted(
+                    glob(join(batch_dir, "?_metadata.json"))):
+                prefix = metadata_path[:-len("metadata.json")]
+                metadata = str(ioutil.read_json(metadata_path))
+                rows.append([
+                    metadata,
+                    prefix + "base-vs-pred.apng",
+                    prefix + "gt-vs-pred.apng",
+                    prefix + "nn.png"])
+                caps.append([
+                    "Metadata", "Prediction vs. Diffuse Base",
+                    "Prediction vs. Ground Truth", "Nearest Neighbor"])
+                types.append(["text", "image", "image", "image"])
+        assert rows, "No row"
+        page = htmlutil.HTML(title=title)
+        table = page.add_table()
+        for r, rc, rt in zip(rows, caps, types):
+            table.add_row(r, rt, captions=rc)
+        page.save(out_html)
+
+    @staticmethod
+    def _compile_into_video(batch_dirs, out_mp4, fps=12):
+        frames = {}
+        for batch_dir in batch_dirs:
+            for metadata_path in glob(join(batch_dir, "?_metadata.json")):
+                prefix = metadata_path[:-len("metadata.json")]
+                pred_path = prefix + "pred.png"
+                if not exists(pred_path):
+                    logger.warn(
+                        "Skipping because of missing file:\n\t%s", pred_path)
+                    continue
+                metadata = ioutil.read_json(metadata_path)
+                frames[metadata["id"]] = ioutil.load_img(pred_path)
+        frames_sorted = [frames[k] for k in sorted(frames)]
+        return ioutil.write_video(frames_sorted, out_mp4, fps=fps)

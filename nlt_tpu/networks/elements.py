@@ -1,0 +1,280 @@
+"""Layer elements: conv/deconv/upconv/norm/act/pool as pure (init, apply)
+modules.
+
+Functional JAX re-design of the reference's Keras layer factories
+(reference: nlt/networks/elements.py:26-125). Parity notes:
+
+- conv/deconv use 'SAME' padding and glorot-uniform kernel init, zero bias
+  (Keras Conv2D defaults);
+- leakyrelu slope is 0.3 (Keras LeakyReLU default), elu alpha 1.0;
+- layer/instance/pixel norms match the reference's epsilons
+  (1e-3 / 1e-6 / 1e-8); 'batch' norm uses current-batch statistics in all
+  modes (a deliberate, documented deviation: the reference's moving-average
+  BatchNorm is stateful in a way that fights pure functions, and no
+  shipped config uses norm != None — reference configs :62);
+- pooling is 2x2 stride-2 'SAME'.
+
+TPU-first: when kernel == stride (the shipped configs use kernel=2,
+stride=2, reference: nlt/config/dragon_specular.ini:61-62), the strided
+conv is algebraically a space-to-depth + matmul and the transposed conv a
+matmul + depth-to-space — both are exact and map straight onto the MXU
+with zero padding waste. General shapes fall back to XLA convolutions.
+
+A Layer is a pair of pure functions:
+    init(key, in_ch) -> (params, out_ch)
+    apply(params, x) -> y            # x, y are NHWC
+"""
+
+import collections
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.img import upsample2x
+
+Layer = collections.namedtuple("Layer", ["init", "apply", "name"])
+
+
+def _glorot_uniform(key, shape, dtype=jnp.float32):
+    """Keras Conv2D default kernel init; shape is HWIO."""
+    fan_in = shape[0] * shape[1] * shape[2]
+    fan_out = shape[0] * shape[1] * shape[3]
+    limit = np.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, shape, dtype, -limit, limit)
+
+
+def conv(kernel_size, n_ch_out, stride=1):
+    """2-D convolution, SAME padding (reference: elements.py:26-31)."""
+
+    def init(key, in_ch):
+        w = _glorot_uniform(key, (kernel_size, kernel_size, in_ch, n_ch_out))
+        return {"w": w, "b": jnp.zeros((n_ch_out,), w.dtype)}, n_ch_out
+
+    def apply(params, x):
+        w = params["w"].astype(x.dtype)
+        b = params["b"].astype(x.dtype)
+        k = kernel_size
+        if k == stride and x.shape[1] % k == 0 and x.shape[2] % k == 0:
+            # Space-to-depth + matmul: exact SAME conv when k == s.
+            n, h, wd, c = x.shape
+            patches = x.reshape(n, h // k, k, wd // k, k, c)
+            patches = patches.transpose(0, 1, 3, 2, 4, 5).reshape(
+                n, h // k, wd // k, k * k * c)
+            wmat = w.reshape(k * k * c, n_ch_out)
+            y = jnp.einsum(
+                "nhwi,io->nhwo", patches, wmat,
+                preferred_element_type=x.dtype)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x, w, window_strides=(stride, stride), padding="SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + b
+
+    return Layer(init, apply, "conv%dx%ds%d" % (
+        kernel_size, kernel_size, stride))
+
+
+def deconv(kernel_size, n_ch_out, stride=1):
+    """Transposed 2-D convolution, SAME padding
+    (reference: elements.py:34-39)."""
+
+    def init(key, in_ch):
+        w = _glorot_uniform(key, (kernel_size, kernel_size, in_ch, n_ch_out))
+        return {"w": w, "b": jnp.zeros((n_ch_out,), w.dtype)}, n_ch_out
+
+    def apply(params, x):
+        w = params["w"].astype(x.dtype)
+        b = params["b"].astype(x.dtype)
+        k = kernel_size
+        if k == stride:
+            # Matmul + depth-to-space: each input pixel emits a k x k block.
+            n, h, wd, c = x.shape
+            wmat = w.transpose(2, 0, 1, 3).reshape(c, k * k * n_ch_out)
+            y = jnp.einsum(
+                "nhwc,co->nhwo", x, wmat, preferred_element_type=x.dtype)
+            y = y.reshape(n, h, wd, k, k, n_ch_out)
+            y = y.transpose(0, 1, 3, 2, 4, 5).reshape(
+                n, h * k, wd * k, n_ch_out)
+        else:
+            # TF Conv2DTranspose is the gradient of a forward conv, which
+            # equals lax.conv_transpose with the kernel spatially flipped.
+            y = jax.lax.conv_transpose(
+                x, w[::-1, ::-1], strides=(stride, stride), padding="SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + b
+
+    return Layer(init, apply, "deconv%dx%ds%d" % (
+        kernel_size, kernel_size, stride))
+
+
+def upconv(n_ch_out):
+    """2x bilinear upsample + 2x2 SAME conv (reference: elements.py:42-48)."""
+    inner = conv(2, n_ch_out, stride=1)
+
+    def init(key, in_ch):
+        return inner.init(key, in_ch)
+
+    def apply(params, x):
+        return inner.apply(params, upsample2x(x))
+
+    return Layer(init, apply, "upconv")
+
+
+def _no_params(apply_fn, name):
+    def init(key, in_ch):
+        return {}, in_ch
+
+    return Layer(init, lambda params, x: apply_fn(x), name)
+
+
+def iden():
+    return _no_params(lambda x: x, "iden")
+
+
+def act(type_):
+    """relu / leakyrelu(0.3) / elu (reference: elements.py:69-78)."""
+    if type_ == "relu":
+        return _no_params(jax.nn.relu, "relu")
+    if type_ == "leakyrelu":
+        return _no_params(
+            lambda x: jax.nn.leaky_relu(x, negative_slope=0.3), "leakyrelu")
+    if type_ == "elu":
+        return _no_params(jax.nn.elu, "elu")
+    raise NotImplementedError(type_)
+
+
+def norm(type_):
+    """batch / layer / instance / pixel / None (reference:
+    elements.py:51-66, 97-121)."""
+    if type_ is None or str(type_).lower() == "none":
+        return iden()
+
+    if type_ == "batch":
+        # Batch statistics in all modes (documented deviation; see module
+        # docstring). Learnable gamma/beta like Keras BatchNormalization.
+        def init(key, in_ch):
+            return {"gamma": jnp.ones((in_ch,)),
+                    "beta": jnp.zeros((in_ch,))}, in_ch
+
+        def apply(params, x):
+            mean = jnp.mean(x, axis=(0, 1, 2), keepdims=True)
+            var = jnp.var(x, axis=(0, 1, 2), keepdims=True)
+            xn = (x - mean) * jax.lax.rsqrt(var + 1e-3)
+            return xn * params["gamma"].astype(x.dtype) \
+                + params["beta"].astype(x.dtype)
+
+        return Layer(init, apply, "batchnorm")
+
+    if type_ == "layer":
+        # Keras LayerNormalization defaults: last axis, eps 1e-3.
+        def init(key, in_ch):
+            return {"gamma": jnp.ones((in_ch,)),
+                    "beta": jnp.zeros((in_ch,))}, in_ch
+
+        def apply(params, x):
+            mean = jnp.mean(x, axis=-1, keepdims=True)
+            var = jnp.var(x, axis=-1, keepdims=True)
+            xn = (x - mean) * jax.lax.rsqrt(var + 1e-3)
+            return xn * params["gamma"].astype(x.dtype) \
+                + params["beta"].astype(x.dtype)
+
+        return Layer(init, apply, "layernorm")
+
+    if type_ == "instance":
+        # Per-sample, per-channel spatial normalization, eps 1e-6
+        # (reference: elements.py:97-100).
+        def init(key, in_ch):
+            return {"gamma": jnp.ones((in_ch,)),
+                    "beta": jnp.zeros((in_ch,))}, in_ch
+
+        def apply(params, x):
+            mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+            var = jnp.var(x, axis=(1, 2), keepdims=True)
+            xn = (x - mean) * jax.lax.rsqrt(var + 1e-6)
+            return xn * params["gamma"].astype(x.dtype) \
+                + params["beta"].astype(x.dtype)
+
+        return Layer(init, apply, "instancenorm")
+
+    if type_ == "pixel":
+        # b[i,j,k] = a[i,j,k] / sqrt(mean_k a^2 + eps)
+        # (reference: elements.py:103-121).
+        def apply_fn(x):
+            return x * jax.lax.rsqrt(
+                jnp.mean(jnp.square(x), axis=3, keepdims=True) + 1e-8)
+
+        return _no_params(apply_fn, "pixelnorm")
+
+    raise NotImplementedError(type_)
+
+
+def pool(type_):
+    """2x2 stride-2 SAME pooling (reference: elements.py:81-94)."""
+    if type_ is None or str(type_).lower() == "none":
+        return iden()
+
+    if type_ == "max":
+        def apply_fn(x):
+            return jax.lax.reduce_window(
+                x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1),
+                "SAME")
+        return _no_params(apply_fn, "maxpool")
+
+    if type_ == "avg":
+        def apply_fn(x):
+            summed = jax.lax.reduce_window(
+                x, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "SAME")
+            counts = jax.lax.reduce_window(
+                jnp.ones_like(x), 0.0, jax.lax.add, (1, 2, 2, 1),
+                (1, 2, 2, 1), "SAME")
+            return summed / counts
+        return _no_params(apply_fn, "avgpool")
+
+    raise NotImplementedError(type_)
+
+
+def dense(n_out, activation=None):
+    """Fully-connected layer (Keras Dense parity: glorot kernel, zero
+    bias), for the MLP network."""
+
+    def init(key, in_ch):
+        fan_in, fan_out = in_ch, n_out
+        limit = np.sqrt(6.0 / (fan_in + fan_out))
+        w = jax.random.uniform(key, (in_ch, n_out), jnp.float32,
+                               -limit, limit)
+        return {"w": w, "b": jnp.zeros((n_out,), w.dtype)}, n_out
+
+    def apply(params, x):
+        y = x @ params["w"].astype(x.dtype) + params["b"].astype(x.dtype)
+        if activation == "relu":
+            y = jax.nn.relu(y)
+        elif activation == "sigmoid":
+            y = jax.nn.sigmoid(y)
+        elif activation == "tanh":
+            y = jnp.tanh(y)
+        elif activation is not None:
+            raise NotImplementedError(activation)
+        return y
+
+    return Layer(init, apply, "dense%d" % n_out)
+
+
+def sequential(layers, name="seq"):
+    """Compose layers into one Layer (params is a list)."""
+
+    def init(key, in_ch):
+        params = []
+        ch = in_ch
+        for layer in layers:
+            key, sub = jax.random.split(key)
+            p, ch = layer.init(sub, ch)
+            params.append(p)
+        return params, ch
+
+    def apply(params, x):
+        for layer, p in zip(layers, params):
+            x = layer.apply(p, x)
+        return x
+
+    return Layer(init, apply, name)

@@ -1,0 +1,182 @@
+"""Loss-layer tests: basic numerics of L1/L2/UVL2/SSIM, Barron adaptive
+behavior (fixed + trainable latents, optimization-convergence in the style
+of reference adaptive_test.py:257-415), LPIPS structure, and the
+weight-spec parser (reference: nlt/models/base.py:63-77)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import nlt_tpu.losses as losses
+from nlt_tpu.losses import adaptive
+from nlt_tpu.metrics import PSNR
+
+
+def test_parse_loss_and_weight():
+    assert losses.parse_loss_and_weight("1e+2lpips") == ("lpips", 100.0)
+    assert losses.parse_loss_and_weight("l1") == ("l1", 1.0)
+    assert losses.parse_loss_and_weight("10barron") == ("barron", 10.0)
+    assert losses.parse_loss_and_weight("barron") == ("barron", 1.0)
+    assert losses.parse_loss_and_weight("2.5ssim") == ("ssim", 2.5)
+
+
+def test_build_losses_spec():
+    wloss = losses.build_losses("l1,2l2", imh=16, imw=16)
+    assert len(wloss) == 2
+    assert wloss[0][0] == 1.0 and isinstance(wloss[0][1], losses.L1)
+    assert wloss[1][0] == 2.0 and isinstance(wloss[1][1], losses.L2)
+    with pytest.raises(NotImplementedError):
+        losses.build_losses("elpips")
+
+
+def test_l1_l2_numerics(rng):
+    gt = jnp.asarray(rng.uniform(0, 1, (2, 4, 4, 3)).astype(np.float32))
+    pred = jnp.asarray(rng.uniform(0, 1, (2, 4, 4, 3)).astype(np.float32))
+    l1 = losses.L1()
+    np.testing.assert_allclose(
+        float(l1({}, gt, pred)), float(jnp.mean(jnp.abs(gt - pred))),
+        rtol=1e-6)
+    l2 = losses.L2()
+    np.testing.assert_allclose(
+        float(l2({}, gt, pred)), float(jnp.mean((gt - pred) ** 2)),
+        rtol=1e-6)
+    per_b = l2({}, gt, pred, keep_batch=True)
+    assert per_b.shape == (2,)
+    np.testing.assert_allclose(
+        float(jnp.mean(per_b)), float(l2({}, gt, pred)), rtol=1e-6)
+
+
+def test_uvl2_ignores_luma_shift(rng):
+    """Adding a pure-luma (gray) offset should barely change UVL2."""
+    gt = jnp.asarray(rng.uniform(0.2, 0.6, (1, 8, 8, 3)).astype(np.float32))
+    pred_gray = gt + 0.1  # uniform shift: pure Y change
+    uvl2 = losses.UVL2()
+    val = float(uvl2({}, gt, pred_gray))
+    assert val < 1e-6
+
+
+def test_ssim_identical_images(rng):
+    x = jnp.asarray(rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32))
+    s = losses.SSIM(1.0)
+    assert float(s({}, x, x)) < 1e-6
+    y = jnp.asarray(rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32))
+    assert float(s({}, x, y)) > 0.05
+
+
+def test_barron_fixed_has_no_params():
+    b = losses.Barron(32, 32)  # NLT settings: alpha=1, scale=0.01 fixed
+    assert b.init_params() == {}
+
+
+def test_barron_zero_residual_is_minimum(rng):
+    b = losses.Barron(32, 32)
+    params = b.init_params()
+    gt = jnp.asarray(rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32))
+    loss_zero = float(b(params, gt, gt))
+    loss_off = float(b(params, gt, gt + 0.05))
+    assert loss_off > loss_zero
+
+
+def test_barron_keep_batch_shape(rng):
+    b = losses.Barron(32, 32)
+    gt = jnp.asarray(rng.uniform(0, 1, (3, 32, 32, 3)).astype(np.float32))
+    pred = jnp.asarray(rng.uniform(0, 1, (3, 32, 32, 3)).astype(np.float32))
+    out = b({}, gt, pred, keep_batch=True)
+    assert out.shape == (3,)
+
+
+def test_barron_gradients_flow(rng):
+    b = losses.Barron(32, 32)
+    gt = jnp.asarray(rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32))
+
+    def f(pred):
+        return b({}, gt, pred)
+
+    g = jax.grad(f)(gt + 0.1)
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert float(jnp.abs(g).max()) > 0
+
+
+def test_adaptive_latents_trainable():
+    """With trainable bounds, latents exist and receive gradients; a short
+    optimization on fixed data should adapt scale downward for small
+    residuals (convergence-style test, reference adaptive_test.py:257+)."""
+    fn = adaptive.AdaptiveLossFunction(
+        4, alpha_lo=0.001, alpha_hi=1.999, scale_lo=1e-5, scale_init=1.0)
+    params = fn.init_params()
+    assert "latent_alpha" in params and "latent_scale" in params
+
+    x = jnp.asarray(
+        np.random.RandomState(0).normal(0, 0.05, (256, 4)).astype(
+            np.float32))
+
+    def loss_fn(p):
+        return jnp.mean(fn(p, x))
+
+    lr = 0.1
+    scale_before = float(fn.scale(params).mean())
+    for _ in range(100):
+        g = jax.grad(loss_fn)(params)
+        params = jax.tree.map(lambda p, gg: p - lr * gg, params, g)
+    scale_after = float(fn.scale(params).mean())
+    # Data std is 0.05 << scale_init 1.0: NLL is minimized by shrinking
+    # scale toward the data scale.
+    assert scale_after < scale_before * 0.5
+
+
+def test_adaptive_image_pixel_rgb_matches_matrix(rng):
+    """PIXEL+RGB image loss must equal the plain matrix loss on the
+    flattened image (reference adaptive_test.py parity property)."""
+    im_size = (4, 4, 3)
+    img_fn = adaptive.AdaptiveImageLossFunction(
+        im_size, color_space="RGB", representation="PIXEL",
+        alpha_lo=1.0, alpha_hi=1.0, scale_lo=0.1, scale_init=0.1)
+    mat_fn = adaptive.AdaptiveLossFunction(
+        int(np.prod(im_size)), alpha_lo=1.0, alpha_hi=1.0,
+        scale_lo=0.1, scale_init=0.1)
+    x = jnp.asarray(rng.standard_normal((2,) + im_size).astype(np.float32))
+    got = img_fn({}, x)
+    expect = mat_fn({}, x.reshape(2, -1)).reshape((2,) + im_size)
+    np.testing.assert_allclose(got, expect, rtol=1e-5)
+
+
+def test_lpips_basic_properties(rng):
+    lp = losses.LPIPS()
+    params = lp.init_params()
+    x = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32))
+    y = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32))
+    d_same = lp(params, x, x, keep_batch=True)
+    d_diff = lp(params, x, y, keep_batch=True)
+    assert d_same.shape == (2,)
+    assert float(jnp.max(d_same)) < 1e-5
+    assert float(jnp.min(d_diff)) > 1e-4
+
+
+def test_lpips_no_gradient_to_weights(rng):
+    lp = losses.LPIPS()
+    params = lp.init_params()
+    x = jnp.asarray(rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32))
+    y = jnp.asarray(rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32))
+
+    g = jax.grad(lambda p: float(0) + jnp.sum(lp(p, x, y)))(params)
+    flat, _ = jax.tree.flatten(g)
+    assert all(float(jnp.abs(leaf).max()) == 0.0 for leaf in flat)
+
+    gx = jax.grad(lambda xx: jnp.sum(lp(params, gt := xx, y)))(x)
+    assert float(jnp.abs(gx).max()) > 0
+
+
+def test_psnr_metric(rng):
+    im = rng.uniform(0, 1, (16, 16, 3)).astype(np.float32)
+    psnr = PSNR(np.float32)
+    assert psnr(im, im) == float("inf")
+    noisy = np.clip(im + rng.normal(0, 0.1, im.shape), 0, 1).astype(
+        np.float32)
+    val = psnr(im, noisy)
+    assert 10 < val < 40
+    # Masked PSNR only counts masked pixels
+    mask = np.zeros((16, 16), bool)
+    mask[:8] = True
+    val_masked = psnr(im, noisy, mask=mask)
+    assert np.isfinite(val_masked)

@@ -1,0 +1,158 @@
+"""Network-layer tests: element semantics (incl. the k==s MXU fast path vs
+the general XLA conv), U-Net structure bookkeeping, MLP skips
+(reference structure: nlt/networks/convnet.py:31-90, mlp.py:28-53)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nlt_tpu.networks import convnet, elements, mlp
+
+
+def test_conv_fast_path_matches_xla(rng):
+    """k == s conv via space-to-depth+matmul must equal the XLA SAME conv."""
+    key = jax.random.PRNGKey(0)
+    layer = elements.conv(2, 8, stride=2)
+    params, out_ch = layer.init(key, 5)
+    assert out_ch == 8
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 5)).astype(np.float32))
+    got = layer.apply(params, x)
+    expect = jax.lax.conv_general_dilated(
+        x, params["w"], window_strides=(2, 2), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + params["b"]
+    assert got.shape == (2, 8, 8, 8)
+    np.testing.assert_allclose(got, expect, atol=1e-5)
+
+
+def test_deconv_fast_path_matches_xla(rng):
+    key = jax.random.PRNGKey(1)
+    layer = elements.deconv(2, 6, stride=2)
+    params, _ = layer.init(key, 4)
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 4)).astype(np.float32))
+    got = layer.apply(params, x)
+    # TF-style transposed conv == lax.conv_transpose with the kernel
+    # spatially flipped.
+    expect = jax.lax.conv_transpose(
+        x, params["w"][::-1, ::-1], strides=(2, 2), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + params["b"]
+    assert got.shape == (1, 16, 16, 6)
+    np.testing.assert_allclose(got, expect, atol=1e-5)
+
+
+def test_conv_same_padding_odd_kernel(rng):
+    layer = elements.conv(3, 4, stride=1)
+    params, _ = layer.init(jax.random.PRNGKey(2), 3)
+    x = jnp.asarray(rng.standard_normal((1, 7, 7, 3)).astype(np.float32))
+    assert layer.apply(params, x).shape == (1, 7, 7, 4)
+
+
+def test_upconv_doubles_resolution(rng):
+    layer = elements.upconv(4)
+    params, _ = layer.init(jax.random.PRNGKey(3), 2)
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 2)).astype(np.float32))
+    assert layer.apply(params, x).shape == (1, 16, 16, 4)
+
+
+@pytest.mark.parametrize("type_", ["batch", "layer", "instance", "pixel"])
+def test_norms_normalize(rng, type_):
+    layer = elements.norm(type_)
+    params, _ = layer.init(jax.random.PRNGKey(4), 6)
+    x = jnp.asarray(
+        (rng.standard_normal((2, 8, 8, 6)) * 3 + 5).astype(np.float32))
+    y = layer.apply(params, x)
+    assert y.shape == x.shape
+    assert float(jnp.abs(y).max()) < 50
+    if type_ == "pixel":
+        # Unit RMS across channels per pixel
+        rms = jnp.sqrt(jnp.mean(y ** 2, axis=3))
+        np.testing.assert_allclose(np.asarray(rms), 1.0, atol=1e-2)
+
+
+def test_norm_none_is_identity(rng):
+    layer = elements.norm(None)
+    params, _ = layer.init(jax.random.PRNGKey(5), 3)
+    x = jnp.asarray(rng.standard_normal((1, 4, 4, 3)).astype(np.float32))
+    np.testing.assert_array_equal(layer.apply(params, x), x)
+    layer2 = elements.norm("None")
+    np.testing.assert_array_equal(layer2.apply({}, x), x)
+
+
+def test_acts():
+    x = jnp.asarray(np.array([[-2.0, -0.5, 0.0, 1.0]], np.float32))
+    relu = elements.act("relu")
+    np.testing.assert_allclose(relu.apply({}, x), [[0, 0, 0, 1]])
+    lrelu = elements.act("leakyrelu")
+    np.testing.assert_allclose(
+        lrelu.apply({}, x), [[-0.6, -0.15, 0, 1]], rtol=1e-6)
+    elu = elements.act("elu")
+    np.testing.assert_allclose(
+        float(elu.apply({}, x)[0, 0]), np.expm1(-2.0), rtol=1e-6)
+
+
+@pytest.mark.parametrize("type_", ["max", "avg"])
+def test_pools_halve_resolution(rng, type_):
+    layer = elements.pool(type_)
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 3)).astype(np.float32))
+    y = layer.apply({}, x)
+    assert y.shape == (1, 4, 4, 3)
+    if type_ == "max":
+        assert float(y[0, 0, 0, 0]) == float(x[0, :2, :2, 0].max())
+    else:
+        np.testing.assert_allclose(
+            float(y[0, 0, 0, 0]), float(x[0, :2, :2, 0].mean()), rtol=1e-5)
+
+
+def test_convnet_structure_dragon_specular():
+    """depth0=16 depth=256 k=2 s=2, no norm/pool, leakyrelu
+    (reference: nlt/config/dragon_specular.ini:58-64)."""
+    net = convnet.Network(16, 256, 2, 2, norm_type=None,
+                          act_type="leakyrelu", pool_type=None)
+    # 13 schedule entries -> 14 stages (1x1 in + 12 + 1x1 out)
+    assert len(net.stages) == 14
+    assert net.is_contracting == [True] * 7 + [False] * 7
+    assert np.cumprod(net.spatsize_changes)[-1] == 1
+
+
+def test_convnet_roundtrip_shapes(rng):
+    """Standalone U-Net (no obs interleaving) must return to input res
+    with 3 output channels (the resolution assert,
+    reference: nlt/networks/convnet.py:88-90)."""
+    # Note: the schedule is only encoder/decoder-balanced when the decay
+    # tail has length 2, i.e. depth0 == 16 — the only value the reference
+    # ships (its own gen_feat_n docstring example 8->64 would fail the
+    # reference's own resolution assert).
+    net = convnet.Network(16, 32, 2, 2, act_type="leakyrelu")
+    params, out_ch = net.init_params(jax.random.PRNGKey(0), 5)
+    assert out_ch == 3
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, 5)).astype(np.float32))
+    y = net.apply(params, x)
+    assert y.shape == (1, 32, 32, 3)
+
+
+def test_convnet_with_pooling_roundtrip(rng):
+    net = convnet.Network(16, 16, 2, 1, act_type="relu", pool_type="max")
+    params, _ = net.init_params(jax.random.PRNGKey(1), 3)
+    x = jnp.asarray(rng.standard_normal((1, 16, 16, 3)).astype(np.float32))
+    y = net.apply(params, x)
+    assert y.shape == (1, 16, 16, 3)
+
+
+def test_mlp_sequential(rng):
+    net = mlp.Network([16, 8, 4], act=["relu", "relu", None])
+    params, out_ch = net.init_params(jax.random.PRNGKey(0), 10)
+    assert out_ch == 4
+    x = jnp.asarray(rng.standard_normal((5, 10)).astype(np.float32))
+    assert net.apply(params, x).shape == (5, 4)
+
+
+def test_mlp_skip_concat(rng):
+    """NeRF-style input re-concat at given depths
+    (reference: nlt/networks/mlp.py:42-53)."""
+    net = mlp.Network([16, 16, 8], act=["relu"] * 3, skip_at=[1])
+    params, out_ch = net.init_params(jax.random.PRNGKey(0), 6)
+    x = jnp.asarray(rng.standard_normal((3, 6)).astype(np.float32))
+    y = net.apply(params, x)
+    assert y.shape == (3, 8)
+    # Layer 2's kernel must expect 16 + 6 inputs
+    assert params[2]["w"].shape == (22, 8)
