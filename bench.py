@@ -1,0 +1,71 @@
+"""Benchmark: flagship training-step throughput on one chip.
+
+Measures the fully-jitted training step (forward + Barron/LPIPS loss +
+backward + AMSGrad update) of the dragon_specular-shaped model
+(512x512 UV/image, depth0=16, depth=256, bs=4; reference:
+nlt/config/dragon_specular.ini) on the available accelerator, and
+prints ONE JSON line:
+
+    {"metric": "texels_per_sec_per_chip", "value": ..., "unit": ...,
+     "vs_baseline": ...}
+
+vs_baseline: the reference publishes no benchmark numbers (its only
+speed metric is mean per-batch wall time, never reported;
+BASELINE.md). The baseline constant below is therefore an ESTIMATE of
+the TF2.2-eager reference on its era hardware (single 2080Ti/V100-class
+GPU, bs 4 @ 512^2): ~0.7 s/step => ~1.5e6 texels/s. The ratio is
+directional, not a measured comparison.
+"""
+
+import json
+import time
+
+import numpy as np
+
+# Estimated TF2 reference throughput (see module docstring).
+BASELINE_TEXELS_PER_SEC = 1.5e6
+
+BS = 4
+RES = 512
+DEPTH = 256
+
+
+def main():
+    import jax
+
+    from __graft_entry__ import _make_batch, _make_model
+    from nlt_tpu.parallel import train as train_mod
+
+    model = _make_model(RES, RES, DEPTH, BS)
+    tx = train_mod.make_optimizer(1e-3)
+    state = train_mod.init_state(model, tx, jax.random.PRNGKey(0))
+    train_step = train_mod.make_train_step(model, tx)
+
+    batch = _make_batch(BS, RES, RES)
+    batch = {k: jax.device_put(np.asarray(v)) for k, v in batch.items()}
+
+    # Warmup / compile
+    for _ in range(2):
+        state, loss, _ = train_step(state, batch)
+    jax.block_until_ready(loss)
+
+    n_steps = 10
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, loss, _ = train_step(state, batch)
+    jax.block_until_ready(loss)
+    dt = (time.perf_counter() - t0) / n_steps
+
+    texels_per_sec = BS * RES * RES / dt
+    print(json.dumps({
+        "metric": "texels_per_sec_per_chip",
+        "value": round(texels_per_sec, 1),
+        "unit": "texels/s (fwd+bwd+update, 512 UV, bs 4, depth 256)",
+        "vs_baseline": round(texels_per_sec / BASELINE_TEXELS_PER_SEC, 3),
+        "step_time_s": round(dt, 5),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

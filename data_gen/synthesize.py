@@ -1,0 +1,324 @@
+"""Synthetic scene generator: an analytic ray-traced sphere that emits
+the exact NLT on-disk data contract without Blender.
+
+The reference's data generation needs Blender 2.78c + Cycles on a render
+farm (reference: data_gen/render.py, data_gen/README.md:69-140). This
+generator replaces that offline dependency for development, testing, and
+benchmarking: a vectorized numpy ray tracer renders a textured sphere
+with Blinn-Phong specular (or wrap-lighting "sss") under point lights,
+and writes, per (cam, light) config, the same buffers render.py would
+(reference contract: SURVEY.md §2.2; data_gen/postproc.py:96-108):
+
+    cam.json light.json nn.json rgb.png rgb_camspc.png alpha.png
+    cvis.png lvis.png uv2cam.npy cam2uv.npy
+
+then runs the real postproc (albedo -> diffuse bases -> file-list JSON),
+so the full downstream pipeline (datasets/nlt.py, trainvali) runs
+unchanged.
+
+Conventions matched:
+- uv2cam.npy: camera-resolution float16 field of normalized UV source
+  coordinates per camera pixel; background pixels are 0 so resampling
+  reads the blacked-out corner texel (reference: render.py:151-158,
+  data_gen/util.py:45-58);
+- cam2uv.npy: UV-resolution field of normalized camera source coords;
+- IDs '{trainvali|test}_{i:09d}_{cam}_{light}'; trainvali is the
+  cam x light product, test pairs virtual cams/lights 1:1 (reference:
+  gen_render_params_expects.py:112-121);
+- nn.json = nearest physical cam/light by Euclidean distance
+  (reference: get_neighbors.py:52-71).
+
+Run:
+    python data_gen/synthesize.py --outroot=/tmp/scene_sphere \
+        --n_cams=4 --n_lights=4 --imh=128 --uvs=128 [--sss]
+"""
+
+import argparse
+import os
+import sys
+from os.path import join
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from util import add_b_ch, dump_json, remap, save_float16_npy  # noqa: E402
+
+parser = argparse.ArgumentParser(description=__doc__)
+parser.add_argument("--outroot", type=str, required=True)
+parser.add_argument("--n_cams", type=int, default=4)
+parser.add_argument("--n_lights", type=int, default=4)
+parser.add_argument("--n_test", type=int, default=4,
+                    help="number of 1:1-paired virtual (cam, light) configs")
+parser.add_argument("--imh", type=int, default=128)
+parser.add_argument("--uvs", type=int, default=128)
+parser.add_argument("--sss", action="store_true",
+                    help="wrap-lighting 'subsurface' shading instead of "
+                         "specular Blinn-Phong")
+parser.add_argument("--seed", type=int, default=0)
+
+SPHERE_R = 1.0
+CAM_R = 3.5
+LIGHT_R = 4.0
+FOV_DEG = 40.0
+
+
+def normalize(v, axis=-1):
+    return v / np.maximum(np.linalg.norm(v, axis=axis, keepdims=True),
+                          1e-12)
+
+
+def look_at(cam_pos, target=(0.0, 0.0, 0.0), up=(0.0, 0.0, 1.0)):
+    """Returns camera axes (right, down, forward) — y grows downward in
+    image space."""
+    fwd = normalize(np.asarray(target, np.float64) - cam_pos)
+    right = normalize(np.cross(fwd, np.asarray(up, np.float64)))
+    down = np.cross(fwd, right)
+    return right, down, fwd
+
+
+def sphere_uv(p):
+    """Spherical UV mapping of unit-sphere points: u from azimuth,
+    v from polar angle; both in [0, 1)."""
+    u = 0.5 + np.arctan2(p[..., 1], p[..., 0]) / (2 * np.pi)
+    v = np.arccos(np.clip(p[..., 2] / SPHERE_R, -1, 1)) / np.pi
+    return u, v
+
+
+def uv_to_point(u, v):
+    phi = (u - 0.5) * 2 * np.pi
+    theta = v * np.pi
+    st = np.sin(theta)
+    return np.stack([
+        st * np.cos(phi), st * np.sin(phi), np.cos(theta)], axis=-1) \
+        * SPHERE_R
+
+
+def albedo_texture(u, v):
+    """Procedural checker + gradient albedo in [0.1, 0.95]."""
+    checker = ((np.floor(u * 8) + np.floor(v * 8)) % 2)
+    r = 0.25 + 0.6 * checker
+    g = 0.2 + 0.55 * v
+    b = 0.3 + 0.5 * (1 - checker) * u
+    return np.clip(np.stack([r, g, b], axis=-1), 0.05, 0.95)
+
+
+def shade(p, n, cam_pos, light_pos, sss=False):
+    """Full light transport at surface points p with normals n.
+
+    Returns (rgb, lvis, cvis): rgb in [0,1], lvis = clamped light
+    cosine (the shadowed-light visibility analog), cvis = clamped view
+    cosine."""
+    l_dir = normalize(light_pos - p)
+    v_dir = normalize(cam_pos - p)
+    ndl = np.sum(n * l_dir, axis=-1)
+    ndv = np.sum(n * v_dir, axis=-1)
+    lvis = np.clip(ndl, 0, 1)
+    cvis = np.clip(ndv, 0, 1)
+
+    u, v = sphere_uv(p)
+    alb = albedo_texture(u, v)
+    if sss:
+        # Wrap lighting: light leaks past the terminator.
+        w = 0.4
+        wrap = np.clip((ndl + w) / (1 + w), 0, 1)
+        rgb = alb * wrap[..., None]
+        # A reddish subsurface tint near the terminator.
+        ring = np.clip(1 - np.abs(ndl) / 0.3, 0, 1)
+        rgb = rgb + np.stack(
+            [0.25 * ring, 0.05 * ring, 0.02 * ring], axis=-1)
+    else:
+        diff = alb * lvis[..., None]
+        h = normalize(l_dir + v_dir)
+        ndh = np.clip(np.sum(n * h, axis=-1), 0, 1)
+        spec = 0.6 * (ndh ** 64) * (lvis > 0)
+        rgb = diff + spec[..., None]
+    return np.clip(rgb, 0, 1), lvis, cvis
+
+
+def render_config(cam, light, imh, uvs, sss):
+    """Render every buffer for one (cam, light) pair."""
+    cam_pos = np.asarray(cam["position"], np.float64)
+    light_pos = np.asarray(light["position"], np.float64)
+    right, down, fwd = look_at(cam_pos)
+    focal = 0.5 / np.tan(np.deg2rad(FOV_DEG) / 2)
+
+    # ---- camera-space pass: ray-trace each pixel ----
+    ys, xs = np.meshgrid(np.arange(imh), np.arange(imh), indexing="ij")
+    # NDC in [-0.5, 0.5]
+    ndc_x = (xs + 0.5) / imh - 0.5
+    ndc_y = (ys + 0.5) / imh - 0.5
+    # Pinhole: d = normalize(focal*fwd + x*right + y*down)
+    dirs = normalize(
+        focal * fwd[None, None] + ndc_x[..., None] * right[None, None]
+        + ndc_y[..., None] * down[None, None])
+
+    # Ray-sphere intersection: |o + t d|^2 = R^2
+    oc = cam_pos[None, None]
+    b = np.sum(dirs * oc, axis=-1)
+    c = np.sum(cam_pos * cam_pos) - SPHERE_R ** 2
+    disc = b * b - c
+    hit = disc > 0
+    t = -b - np.sqrt(np.maximum(disc, 0))
+    hit &= t > 0
+    p = oc + t[..., None] * dirs
+    n = normalize(p)
+
+    rgb_camspc, _, _ = shade(p, n, cam_pos, light_pos, sss)
+    rgb_camspc *= hit[..., None]
+    alpha = hit.astype(np.float32)
+
+    # uv2cam: normalized UV source coordinates per camera pixel.
+    u, v = sphere_uv(p)
+    uv2cam = np.stack([u, v], axis=-1).astype(np.float32)
+    uv2cam[~hit] = 0.0
+
+    # ---- UV-space pass: shade each texel directly ----
+    vv, uu = np.meshgrid(
+        (np.arange(uvs) + 0.5) / uvs, (np.arange(uvs) + 0.5) / uvs,
+        indexing="ij")
+    p_uv = uv_to_point(uu, vv)
+    n_uv = normalize(p_uv)
+    rgb_uv, lvis_uv, cvis_uv = shade(p_uv, n_uv, cam_pos, light_pos, sss)
+
+    # cam2uv: normalized camera source coordinates per UV texel (0 where
+    # the texel isn't visible from this camera).
+    rel = p_uv - cam_pos
+    depth = rel @ fwd
+    px = (rel @ right) / depth * focal + 0.5   # back to [0,1]
+    py = (rel @ down) / depth * focal + 0.5
+    visible = (np.sum(n_uv * normalize(cam_pos - p_uv), axis=-1) > 0) \
+        & (px > 0) & (px < 1) & (py > 0) & (py < 1) & (depth > 0)
+    cam2uv = np.stack([px, py], axis=-1).astype(np.float32)
+    cam2uv[~visible] = 0.0
+    # Hide lighting on texels invisible from the camera only in cvis
+    # (rgb/lvis stay defined everywhere in UV space, like the
+    # reference's remapped buffers are only defined where visible; we
+    # keep them dense, which is strictly more information).
+
+    return {
+        "rgb_camspc": rgb_camspc.astype(np.float32),
+        "alpha": alpha,
+        "uv2cam": uv2cam,
+        "rgb": rgb_uv.astype(np.float32),
+        "lvis": lvis_uv.astype(np.float32),
+        "cvis": cvis_uv.astype(np.float32),
+        "cam2uv": cam2uv,
+    }
+
+
+def fibonacci_sphere(n, radius, hemisphere=True, phase=0.0):
+    """Even-ish directions on the (upper hemi)sphere."""
+    pts = []
+    golden = np.pi * (3 - np.sqrt(5))
+    for i in range(n):
+        z = (i + 0.5) / n  # (0, 1): upper hemisphere
+        if not hemisphere:
+            z = 2 * z - 1
+        r = np.sqrt(max(0.0, 1 - z * z))
+        th = golden * i + phase
+        pts.append([r * np.cos(th), r * np.sin(th), z])
+    return np.asarray(pts) * radius
+
+
+def write_config_dir(outdir, buffers, cam, light, nn):
+    from PIL import Image
+
+    os.makedirs(outdir, exist_ok=True)
+
+    def w01(name, arr):
+        arr8 = (np.clip(arr, 0, 1) * 255).round().astype(np.uint8)
+        Image.fromarray(arr8).save(join(outdir, name))
+
+    w01("rgb_camspc.png", buffers["rgb_camspc"])
+    w01("alpha.png", buffers["alpha"])
+    w01("rgb.png", buffers["rgb"])
+    w01("lvis.png", buffers["lvis"])
+    w01("cvis.png", buffers["cvis"])
+    w01("uv2cam.png", np.clip(add_b_ch(buffers["uv2cam"]), 0, 1))
+    w01("cam2uv.png", np.clip(add_b_ch(buffers["cam2uv"]), 0, 1))
+    save_float16_npy(buffers["uv2cam"], join(outdir, "uv2cam.npy"))
+    save_float16_npy(buffers["cam2uv"], join(outdir, "cam2uv.npy"))
+    dump_json(cam, join(outdir, "cam.json"))
+    dump_json(light, join(outdir, "light.json"))
+    dump_json(nn, join(outdir, "nn.json"))
+
+
+def main(args):
+    cam_pts = fibonacci_sphere(args.n_cams, CAM_R)
+    light_pts = fibonacci_sphere(args.n_lights, LIGHT_R, phase=1.234)
+    cams = [
+        {"name": "C%02d" % i, "position": p.tolist(),
+         "focal_length": 50.0, "sensor_width": 36.0, "sensor_height": 36.0,
+         "clip_start": 0.1, "clip_end": 100.0,
+         "rotation": [0.0, 0.0, 0.0]}
+        for i, p in enumerate(cam_pts)]
+    lights = [
+        {"name": "L%03d" % i, "position": p.tolist(), "size": 0.1}
+        for i, p in enumerate(light_pts)]
+
+    # Virtual (test) cams/lights: jittered interpolations.
+    test_cam_pts = fibonacci_sphere(args.n_test, CAM_R, phase=0.5)
+    test_light_pts = fibonacci_sphere(args.n_test, LIGHT_R, phase=2.0)
+    test_cams = [
+        {**cams[0], "name": "P%02dV" % i, "position": p.tolist()}
+        for i, p in enumerate(test_cam_pts)]
+    test_lights = [
+        {**lights[0], "name": "L%03dV" % i, "position": p.tolist()}
+        for i, p in enumerate(test_light_pts)]
+
+    def nearest(pts_named, query_pos, exclude=None):
+        best, best_d = None, np.inf
+        for item in pts_named:
+            if item["name"] == exclude:
+                continue
+            d = np.linalg.norm(
+                np.asarray(item["position"]) - np.asarray(query_pos))
+            if d < best_d:
+                best, best_d = item["name"], d
+        return best
+
+    # trainvali: full cam x light product
+    # (reference: gen_render_params_expects.py:112-121).
+    i = 0
+    jobs = []
+    for cam in cams:
+        for light in lights:
+            id_ = "trainvali_%09d_%s_%s" % (i, cam["name"], light["name"])
+            nn = {
+                "cam": nearest(cams, cam["position"], exclude=cam["name"]),
+                "light": nearest(
+                    lights, light["position"], exclude=light["name"]),
+            }
+            jobs.append((id_, cam, light, nn))
+            i += 1
+    # test: virtual cams/lights paired 1:1
+    for j in range(args.n_test):
+        cam = test_cams[j]
+        light = test_lights[j]
+        id_ = "test_%09d_%s_%s" % (j, cam["name"], light["name"])
+        nn = {
+            "cam": nearest(cams, cam["position"]),
+            "light": nearest(lights, light["position"]),
+        }
+        jobs.append((id_, cam, light, nn))
+
+    for id_, cam, light, nn in jobs:
+        buffers = render_config(cam, light, args.imh, args.uvs, args.sss)
+        write_config_dir(join(args.outroot, id_), buffers, cam, light, nn)
+        print("rendered", id_)
+
+    # Run the real postprocessing pipeline on the synthesized data.
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import postproc
+    albedo = postproc.compute_albedo(args.outroot)
+    postproc._write01(albedo, join(args.outroot, "albedo.png"))
+    postproc.gen_diffuse(args.outroot, albedo)
+    out_json = args.outroot.rstrip("/") + ".json"
+    filelist = postproc.gen_file_list(args.outroot, out_json)
+    n_complete = sum(1 for v in filelist.values() if v["complete"])
+    print("Synthesized %d configs (%d complete) under %s"
+          % (len(filelist), n_complete, args.outroot))
+
+
+if __name__ == "__main__":
+    main(parser.parse_args())

@@ -1,0 +1,159 @@
+"""Dataset base: a threaded host input pipeline feeding static-shape
+numpy batches.
+
+Replaces the reference's tf.data pipeline (reference:
+nlt/datasets/base.py:89-117: glob -> map(precache, 128 threads) ->
+optional cache -> map(postcache) -> shuffle(train) -> batch -> prefetch)
+with a pure-Python equivalent built for TPU feeding:
+
+- a thread pool runs `_load_item` (PIL/numpy IO releases the GIL for the
+  heavy parts), replacing tf.py_function's GIL-bound bridge
+  (reference: nlt/datasets/nlt.py:106-110);
+- `cache=True` keeps decoded examples in RAM, like dataset.cache();
+- shuffling reshuffles example order every epoch with a per-epoch seed
+  (train only), like shuffle(buffer) but over the full index;
+- batches are dicts of stacked float32 numpy arrays (static shapes) plus
+  host-side string lists ('id', 'nn_id'); a background prefetch thread
+  keeps `prefetch_batches` batches ready so the accelerator never waits.
+
+Subclass contract:
+    _glob() -> list of example ids
+    _load_item(id) -> dict of numpy arrays + str fields
+"""
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from ..utils import logging as logutil
+
+logger = logutil.Logger(loggee="datasets/base")
+
+ALLOWED_MODES = ("train", "vali", "test")
+
+
+class Dataset:
+    def __init__(self, config, mode, n_workers=16, prefetch_batches=2,
+                 cache=None):
+        self._validate_mode(mode)
+        self.config = config
+        self.mode = mode
+        self.n_workers = n_workers
+        self.prefetch_batches = prefetch_batches
+        if cache is None:
+            cache = config.get_bool("cache", False)
+        self.cache_enabled = cache
+        self._cache = {}
+        self._cache_lock = threading.Lock()
+        self.files = self._glob()
+        assert self.files, "No files to process into a dataset"
+        self.bs = self._get_batch_size()
+
+    @staticmethod
+    def _validate_mode(mode):
+        if mode not in ALLOWED_MODES:
+            raise ValueError(
+                "Invalid mode: %s. Allowed: %s" % (mode, ALLOWED_MODES))
+
+    def _glob(self):
+        raise NotImplementedError
+
+    def _get_batch_size(self):
+        """'bs' from config unless overridden (reference:
+        nlt/datasets/base.py:61-73)."""
+        if not self.config.has("bs"):
+            raise ValueError(
+                "Specify batch size as 'bs' in the configuration file, or "
+                "override this function")
+        return self.config.get_int("bs")
+
+    def _load_item(self, id_):
+        raise NotImplementedError
+
+    def _load_cached(self, id_):
+        if self.cache_enabled:
+            with self._cache_lock:
+                if id_ in self._cache:
+                    return self._cache[id_]
+        item = self._load_item(id_)
+        if self.cache_enabled:
+            with self._cache_lock:
+                self._cache[id_] = item
+        return item
+
+    @staticmethod
+    def _collate(items):
+        """Stack numpy fields into batch arrays; strings become lists."""
+        batch = {}
+        for k in items[0]:
+            v0 = items[0][k]
+            if isinstance(v0, np.ndarray):
+                batch[k] = np.stack([it[k] for it in items])
+            else:
+                batch[k] = [it[k] for it in items]
+        return batch
+
+    def __len__(self):
+        return len(self.files)
+
+    def n_batches(self, drop_remainder=True):
+        if drop_remainder:
+            return len(self.files) // self.bs
+        return -(-len(self.files) // self.bs)
+
+    def iterate(self, seed=None, no_batch=False, drop_remainder=True):
+        """One epoch of batches. Train mode shuffles with `seed`."""
+        ids = sorted(self.files)
+        if self.mode == "train":
+            rng = np.random.RandomState(seed)
+            rng.shuffle(ids)
+        if no_batch:
+            bs = 1
+        else:
+            bs = self.bs
+        n = len(ids) if not drop_remainder else (len(ids) // bs) * bs
+        if n == 0:
+            n = len(ids)  # fewer examples than a batch: keep the remainder
+
+        out_q = queue.Queue(maxsize=self.prefetch_batches)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                with ThreadPoolExecutor(self.n_workers) as pool:
+                    for start in range(0, n, bs):
+                        if stop.is_set():
+                            return
+                        chunk = ids[start:start + bs]
+                        items = list(pool.map(self._load_cached, chunk))
+                        batch = self._collate(items)
+                        if no_batch:
+                            batch = {
+                                k: (v[0] if isinstance(v, list) else v[0])
+                                for k, v in batch.items()}
+                        out_q.put(batch)
+            except Exception as e:  # surface loader errors to the consumer
+                out_q.put(e)
+            finally:
+                out_q.put(None)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            # Drain so the producer can exit.
+            while thread.is_alive():
+                try:
+                    out_q.get_nowait()
+                except queue.Empty:
+                    break

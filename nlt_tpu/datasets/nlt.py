@@ -1,0 +1,178 @@
+"""NLT dataset: loads the per-(cam, light) on-disk contract produced by
+the data-generation pipeline.
+
+Re-design of the reference loader (reference: nlt/datasets/nlt.py). The
+on-disk contract is identical (SURVEY.md §2.2; reference:
+data_gen/postproc.py:96-108):
+
+    <data_root>.json            file-list with per-ID relative paths and
+                                a 'complete' existence flag
+    <id>/cam.json light.json nn.json
+    <id>/rgb.png (UV), rgb_camspc.png, alpha.png, cvis.png, lvis.png
+    <id>/uv2cam.npy (float16 H x W x 2), cam2uv.npy
+    <id>/diffuse.png, diffuse_camspc.png
+
+Behavior kept:
+- IDs are '{trainvali|test}_{i:09d}_{cam}_{light}'; the vali split is the
+  cartesian product of holdout_cam x holdout_light, train is the rest,
+  test is everything with the 'test' prefix (reference: :54-86);
+- incomplete configs are skipped with a warning (:63-68);
+- the nearest neighbor is looked up from nn.json via a regex over IDs
+  (:88-100); missing neighbors yield zero placeholders so training
+  proceeds (:152-157);
+- images are normalized uint->[0,1], resized to (uvh, uvh) / (imh, imw);
+  the warp field is NEVER resized — warp first, resize after
+  (:140-148);
+- test mode returns zero placeholders for rgb/rgb_camspc (:126-128).
+
+Each example is a dict (not an 11-tuple): array fields
+base/cvis/lvis/warp/rgb/rgb_camspc/nn_base/nn_rgb/nn_rgb_camspc plus
+host-side strings id/nn_id.
+"""
+
+import os
+import re
+from itertools import product
+
+import numpy as np
+
+from ..utils import io as ioutil
+from ..utils import img as imgutil
+from ..utils import logging as logutil
+from .base import Dataset as BaseDataset
+
+logger = logutil.Logger(loggee="datasets/nlt")
+
+
+class Dataset(BaseDataset):
+    def __init__(self, config, mode, **kwargs):
+        self.data_root = config.get("data_root")
+        data_status_path = self.data_root.rstrip("/") + ".json"
+        if not os.path.exists(data_status_path):
+            raise FileNotFoundError(
+                "Data status JSON not found at\n\t%s\nRun "
+                "data_gen/postproc.py (or data_gen/synthesize.py) to "
+                "generate it" % data_status_path)
+        self.data_paths = ioutil.read_json(data_status_path)
+        # Paths in the JSON are relative to data_root.
+        for _, paths in self.data_paths.items():
+            for k, v in paths.items():
+                if k != "complete":
+                    paths[k] = os.path.join(self.data_root, v)
+        super().__init__(config, mode, **kwargs)
+
+    def _glob(self):
+        holdout_cam = self.config.get_list("holdout_cam")
+        holdout_light = self.config.get_list("holdout_light")
+        holdout = {"%s_%s" % x for x in product(holdout_cam, holdout_light)}
+
+        ids = []
+        want_prefix = "test" if self.mode == "test" else "trainvali"
+        for id_, paths in self.data_paths.items():
+            if not id_.startswith(want_prefix):
+                continue
+            if not paths["complete"]:
+                logger.warn(
+                    "Skipping '%s' because its data are incomplete", id_)
+                continue
+            ids.append(id_)
+
+        if self.mode == "test":
+            logger.info(
+                "Number of '%s' camera-light combinations: %d",
+                self.mode, len(ids))
+            return ids
+
+        ids_split = []
+        for id_ in ids:
+            cam_light = "_".join(id_.split("_")[-2:])
+            in_holdout = cam_light in holdout
+            if (self.mode == "vali") == in_holdout:
+                ids_split.append(id_)
+        logger.info(
+            "Number of '%s' camera-light combinations: %d",
+            self.mode, len(ids_split))
+        return ids_split
+
+    def _get_nn_id(self, nn):
+        """Resolve nn.json's {cam, light} to a trainvali ID
+        (reference: nlt/datasets/nlt.py:88-100)."""
+        id_regex = re.compile(
+            r"trainvali_\d\d\d\d\d\d\d\d\d_{cam}_{light}".format(**nn))
+        matched = [x for x in self.data_paths
+                   if id_regex.search(x) is not None]
+        if not matched:
+            return None
+        if len(matched) == 1:
+            return matched[0]
+        raise ValueError(
+            "Found %d matches:\n\t%s" % (len(matched), matched))
+
+    def _load_item(self, id_):
+        paths = self.data_paths[id_]
+        imh = self.config.get_int("imh")
+        imw = self.config.get_int("imw")
+        uvh = self.config.get_int("uvh")
+
+        base = ioutil.load_img(paths["diffuse"])[:, :, :3]
+        cvis = ioutil.load_img(paths["cvis"])
+        lvis = ioutil.load_img(paths["lvis"])
+        warp = ioutil.read_npy(paths["uv2cam"])
+        if self.mode == "test":
+            rgb = np.zeros_like(base)
+            rgb_camspc = np.zeros((imh, imw, 3))
+        else:
+            rgb = ioutil.load_img(paths["rgb"])[:, :, :3]
+            rgb_camspc = ioutil.load_img(paths["rgb_camspc"])[:, :, :3]
+
+        base = ioutil.normalize_uint(base)
+        cvis = ioutil.normalize_uint(cvis)
+        lvis = ioutil.normalize_uint(lvis)
+        if self.mode != "test":
+            rgb = ioutil.normalize_uint(rgb)
+            rgb_camspc = ioutil.normalize_uint(rgb_camspc)
+
+        base = imgutil.resize(base, new_h=uvh)
+        cvis = imgutil.resize(cvis, new_h=uvh)
+        lvis = imgutil.resize(lvis, new_h=uvh)
+        rgb = imgutil.resize(rgb, new_h=uvh)
+        rgb_camspc = imgutil.resize(rgb_camspc, new_h=imh, new_w=imw)
+        # NOTE: warp is never resized — warp first, then resize
+        # (reference: nlt/datasets/nlt.py:147-148).
+
+        nn = ioutil.read_json(paths["nn"])
+        nn_id = self._get_nn_id(nn)
+        if nn_id is None:
+            nn_id = "incomplete-data_{cam}_{light}".format(**nn)
+            nn_base = np.zeros_like(base)
+            nn_rgb = np.zeros_like(rgb)
+            nn_rgb_camspc = np.zeros_like(rgb_camspc)
+        else:
+            nn_paths = self.data_paths[nn_id]
+            nn_base = ioutil.normalize_uint(
+                ioutil.load_img(nn_paths["diffuse"])[:, :, :3])
+            nn_rgb = ioutil.normalize_uint(
+                ioutil.load_img(nn_paths["rgb"])[:, :, :3])
+            nn_rgb_camspc = ioutil.normalize_uint(
+                ioutil.load_img(nn_paths["rgb_camspc"])[:, :, :3])
+            nn_base = imgutil.resize(nn_base, new_h=uvh)
+            nn_rgb = imgutil.resize(nn_rgb, new_h=uvh)
+            nn_rgb_camspc = imgutil.resize(
+                nn_rgb_camspc, new_h=imh, new_w=imw)
+
+        def f32(x):
+            return np.ascontiguousarray(x, np.float32)
+
+        return {
+            "id": id_,
+            "base": f32(base),
+            "cvis": f32(cvis)[:, :, None],
+            "lvis": f32(lvis)[:, :, None],
+            "warp": f32(warp),
+            "rgb": f32(rgb),
+            "rgb_camspc": f32(rgb_camspc),
+            "nn_id": nn_id,
+            "nn_base": f32(nn_base),
+            "nn_rgb": f32(nn_rgb),
+            "nn_rgb_camspc": f32(nn_rgb_camspc),
+        }

@@ -58,8 +58,8 @@ def init_params(key, dtype=jnp.float32):
     for i, (out_ch, k, _, _) in enumerate(_ALEX_CFG):
         key, k1 = jax.random.split(key)
         fan_in = k * k * in_ch
-        w = jax.random.normal(k1, (k, k, in_ch, out_ch), dtype) * np.sqrt(
-            2.0 / fan_in)
+        w = jax.random.normal(k1, (k, k, in_ch, out_ch), dtype) * float(
+            np.sqrt(2.0 / fan_in))
         b = jnp.zeros((out_ch,), dtype)
         params["convs"].append({"w": w, "b": b})
         # Non-negative linear head weights, as in canonical LPIPS.

@@ -1,0 +1,146 @@
+"""NLT inference driver: averaged-observation relighting/view synthesis.
+
+Re-design of the reference's test pipeline (reference: nlt/nlt_test.py):
+
+    python -m nlt_tpu.nlt_test --ckpt=<outdir>/checkpoints
+        [--step=N] [--batch_size_override=N] [--n_obs_batches=N] [--fps=N]
+
+1. the config .ini is reconstructed from the checkpoint path convention
+   (<outdir>.ini next to <outdir>/checkpoints; reference: :47-48);
+2. a fixed observation feature pyramid is computed by running training
+   batches' (rgb - base) through the obs path and averaging every
+   level's features over all samples (reference: extract_feat, :97-127);
+3. test inference runs with that pyramid tiled to the batch as
+   obs_override (reference: infer, :78-94);
+4. per-batch visualizations are compiled into a video (reference:
+   :149-157).
+"""
+
+import argparse
+from glob import glob
+from os.path import basename, join
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import datasets as datasets_mod
+from . import models as models_mod
+from .parallel import train as train_mod
+from .utils import checkpoint as ckpt_mod
+from .utils import config as config_mod
+from .utils import logging as logutil
+
+logger = logutil.Logger(loggee="nlt_test")
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--ckpt", type=str, required=True,
+                   help="path to <outdir>/checkpoints (directory)")
+    p.add_argument("--step", type=int, default=None,
+                   help="checkpoint step; default latest")
+    p.add_argument("--batch_size_override", type=int, default=None)
+    p.add_argument("--n_obs_batches", type=int, default=1)
+    p.add_argument("--fps", type=int, default=24)
+    p.add_argument("--device", type=str, default="auto",
+                   choices=["auto", "cpu", "tpu"])
+    return p.parse_args(argv)
+
+
+def get_config_ini(ckpt_dir):
+    """<outdir>/checkpoints -> <outdir>.ini (reference: :47-48)."""
+    outdir = ckpt_dir.rstrip("/").rsplit("/", 1)[0]
+    return outdir + ".ini"
+
+
+def restore_model(config, ckpt_dir, step=None):
+    ModelCls = models_mod.get_model_class(config.get("model"))
+    model = ModelCls(config)
+    tx = train_mod.make_optimizer(config.get_float("lr"))
+    state = train_mod.init_state(model, tx, jax.random.PRNGKey(0))
+    manager = ckpt_mod.CheckpointManager(ckpt_dir)
+    state, restored = manager.restore(state, step=step)
+    if restored == 0:
+        logger.warn("No checkpoint found under %s; using fresh init",
+                    ckpt_dir)
+    manager.close()
+    return model, state
+
+
+def extract_feat(model, state, dataset, n_obs_batches=1):
+    """Average observation feature pyramid over training batches
+    (reference: nlt_test.py:97-127)."""
+    feat_sums, count = None, 0
+    for batch_i, batch in enumerate(dataset.iterate(seed=0)):
+        if 0 <= n_obs_batches <= batch_i:
+            break
+        x = jnp.asarray(batch["rgb"] - batch["base"])
+        feats = model.extract_obs_features(state["params"]["net"], x)
+        if feat_sums is None:
+            feat_sums = [jnp.sum(f, axis=0, keepdims=True) for f in feats]
+        else:
+            feat_sums = [
+                s + jnp.sum(f, axis=0, keepdims=True)
+                for s, f in zip(feat_sums, feats)]
+        count += x.shape[0]
+    assert feat_sums is not None, "No observation batches"
+    return [s / count for s in feat_sums]  # each 1 x H x W x C
+
+
+def infer(model, state, dataset, feat_agg, outroot, report_every=10):
+    """Run test inference with the tiled averaged pyramid as obs_override
+    (reference: nlt_test.py:78-94)."""
+    batch_dirs = []
+    apply_jit = jax.jit(
+        lambda p, b, ov: model.apply(p, b, "test", obs_override=ov)[3])
+    for batch_i, batch in enumerate(dataset.iterate(seed=0)):
+        arrays = {k: jnp.asarray(v) for k, v in batch.items()
+                  if not isinstance(v, list)}
+        bs = arrays["base"].shape[0]
+        obs_override = [jnp.tile(x, (bs, 1, 1, 1)) for x in feat_agg]
+        to_vis = apply_jit(state["params"], arrays, obs_override)
+        to_vis = {k: np.asarray(v) for k, v in to_vis.items()}
+        to_vis["id"] = batch["id"]
+        to_vis["nn_id"] = batch["nn_id"]
+        outdir = join(outroot, "batch%09d" % batch_i)
+        model.vis_batch(to_vis, outdir, "test")
+        batch_dirs.append(outdir)
+        if (batch_i + 1) % report_every == 0:
+            logger.info("Done inferring %d batches", batch_i + 1)
+    return batch_dirs
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    config_ini = get_config_ini(args.ckpt)
+    config = config_mod.read_config(config_ini)
+    if args.batch_size_override is not None:
+        config.set("bs", args.batch_size_override)
+
+    model, state = restore_model(config, args.ckpt, step=args.step)
+
+    Dataset = datasets_mod.get_dataset_class(config.get("dataset"))
+    dataset_train = Dataset(config, "train")
+    dataset_test = Dataset(config, "test")
+
+    feat_agg = extract_feat(
+        model, state, dataset_train, n_obs_batches=args.n_obs_batches)
+
+    step = args.step if args.step is not None else "latest"
+    outroot = join(config_ini[:-len(".ini")], "vis_test",
+                   "ckpt-%s_pred" % step)
+    infer(model, state, dataset_test, feat_agg, outroot)
+
+    batch_vis_dirs = sorted(glob(join(outroot, "*")))
+    view_at = model.compile_batch_vis(
+        batch_vis_dirs, outroot.rstrip("/"), "test", fps=args.fps)
+    logger.info("Compilation available for viewing at\n\t%s", view_at)
+    return view_at
+
+
+if __name__ == "__main__":
+    main()

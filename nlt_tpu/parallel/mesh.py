@@ -1,0 +1,139 @@
+"""Device mesh and sharding layer (L6).
+
+First-class JAX distribution replacing the reference's
+tf.distribute.MirroredStrategy + NCCL (reference: nlt/trainvali.py:254-264,
+SURVEY.md §2.5). Design:
+
+- a 2-D ('data', 'tile') Mesh: 'data' shards the batch (the reference's
+  only parallelism axis), 'tile' optionally shards UV/image rows across
+  chips — the texel-tile sharding the reference lacks; XLA/GSPMD inserts
+  conv halo exchanges and resampler collectives automatically;
+- parameters and optimizer state are fully replicated (NamedSharding
+  with an empty PartitionSpec), so the gradient all-reduce rides ICI via
+  compiler-inserted psums inside the jitted train step — the analog of
+  MirroredStrategy's implicit NCCL all-reduce in apply_gradients
+  (reference: trainvali.py:279-280);
+- multi-host: `initialize_distributed()` + `make_global_batch` build
+  global arrays from per-host shards via
+  jax.make_array_from_process_local_data, the analog of
+  experimental_distribute_dataset (reference: trainvali.py:90,112).
+"""
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..utils import logging as logutil
+
+logger = logutil.Logger(loggee="parallel/mesh")
+
+# Batch fields whose leading dim is the batch axis and that have spatial
+# dims eligible for tile sharding (N H W C).
+_SPATIAL_FIELDS = (
+    "base", "cvis", "lvis", "warp", "rgb", "rgb_camspc",
+    "nn_base", "nn_rgb", "nn_rgb_camspc")
+
+
+def make_mesh(n_data=None, n_tile=1, devices=None, batch_size=None):
+    """Build a ('data', 'tile') mesh over the given (default: all global)
+    devices.
+
+    If `batch_size` is given and n_data is not, the data axis is clamped
+    to the largest divisor of the batch size that fits the available
+    devices (excess devices go unused, with a warning) — the analog of
+    MirroredStrategy requiring the global batch to split across replicas.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n_dev = len(devices)
+    if n_data is None:
+        assert n_dev % n_tile == 0, (n_dev, n_tile)
+        n_data = n_dev // n_tile
+        if batch_size is not None and batch_size % n_data != 0:
+            while n_data > 1 and batch_size % n_data != 0:
+                n_data -= 1
+            logger.warn(
+                "Batch size %d not divisible by %d devices; using a "
+                "%dx%d mesh (%d devices idle)", batch_size,
+                n_dev // n_tile, n_data, n_tile,
+                n_dev - n_data * n_tile)
+    assert n_data * n_tile <= n_dev, (
+        "mesh %dx%d > %d devices" % (n_data, n_tile, n_dev))
+    dev_array = np.asarray(
+        devices[:n_data * n_tile]).reshape(n_data, n_tile)
+    return Mesh(dev_array, ("data", "tile"))
+
+
+def replicated(mesh):
+    return NamedSharding(mesh, P())
+
+
+def batch_spec(mesh, field, tile_spatial=False):
+    """PartitionSpec for one batch field: batch dim on 'data', optionally
+    image rows on 'tile'."""
+    if tile_spatial and field in _SPATIAL_FIELDS:
+        return NamedSharding(mesh, P("data", "tile"))
+    return NamedSharding(mesh, P("data"))
+
+
+def batch_shardings(mesh, batch, tile_spatial=False):
+    """Sharding tree matching the array fields of a batch dict."""
+    return {
+        k: batch_spec(mesh, k, tile_spatial)
+        for k, v in batch.items() if not isinstance(v, list)}
+
+
+def shard_batch(mesh, batch, tile_spatial=False):
+    """device_put the array fields onto the mesh; string-list fields
+    (id, nn_id) stay on host.
+
+    Batches whose leading dim doesn't divide the data axis (e.g. a
+    remainder validation batch) are replicated instead — every device
+    redundantly computes them, which keeps losses exact without
+    padding/masking bookkeeping."""
+    n_data = mesh.shape["data"]
+    out = {}
+    for k, v in batch.items():
+        if isinstance(v, list):
+            out[k] = v
+        elif v.shape[0] % n_data != 0:
+            out[k] = jax.device_put(v, replicated(mesh))
+        else:
+            out[k] = jax.device_put(
+                v, batch_spec(mesh, k, tile_spatial))
+    return out
+
+
+def initialize_distributed(coordinator_address=None, num_processes=None,
+                           process_id=None):
+    """Multi-host bring-up (controller-less, one process per host).
+
+    No-op on a single process; on a pod slice, call before any JAX op.
+    """
+    if num_processes is None or num_processes <= 1:
+        logger.info("Single-process run; skipping jax.distributed init")
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id)
+    logger.info(
+        "jax.distributed initialized: process %d/%d, %d local / %d "
+        "global devices", jax.process_index(), jax.process_count(),
+        jax.local_device_count(), jax.device_count())
+
+
+def make_global_batch(mesh, local_batch, tile_spatial=False):
+    """Assemble a global sharded batch from this process's local shard.
+
+    Each host loads its own examples (per-host data loading, SURVEY.md
+    §2.5's TPU-native equivalent); this builds the global jax.Arrays.
+    """
+    out = {}
+    for k, v in local_batch.items():
+        if isinstance(v, list):
+            out[k] = v
+        else:
+            sharding = batch_spec(mesh, k, tile_spatial)
+            out[k] = jax.make_array_from_process_local_data(sharding, v)
+    return out

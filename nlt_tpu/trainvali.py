@@ -1,0 +1,276 @@
+"""Training and validation driver.
+
+Re-design of the reference's trainvali pipeline (reference:
+nlt/trainvali.py:48-251) on the JAX mesh runtime:
+
+    python -m nlt_tpu.trainvali --config=<ini> [--debug] [--device=...]
+
+Kept: the .ini config system with xname-derived output dirs (:59-71),
+train/vali dataset construction with holdout split, AMSGrad(+clipnorm)
+optimization, per-epoch loop with ckpt_period checkpointing,
+vis_train_batches visualization + HTML compilation, vali_period
+validation on a fixed set of batches, and keep_recent_epochs retention
+for both checkpoints and vis dirs (:328-332).
+
+Changed (and why):
+- tf.distribute.MirroredStrategy -> a ('data', 'tile') jax Mesh with a
+  single jitted train step (parallel/train.py); gradient all-reduce is
+  compiler-inserted over ICI instead of NCCL;
+- tf.summary/TensorBoard -> plain JSONL scalar logs next to the vis
+  HTML (summary_*/scalars.jsonl), since the framework is TF-free; the
+  HTML galleries remain the primary visual artifact;
+- tf.train.Checkpoint -> Orbax over the full state pytree, which now
+  *includes* the robust-loss latents (SURVEY.md §5 quirk fixed);
+- the epoch counter lives in the checkpoint step number, as before.
+"""
+
+import argparse
+import json
+import os
+import time
+from collections import deque
+from glob import glob
+from os.path import dirname, exists, join
+from shutil import copyfile, rmtree
+
+import jax
+import numpy as np
+
+from . import datasets as datasets_mod
+from . import models as models_mod
+from .parallel import mesh as mesh_mod
+from .parallel import train as train_mod
+from .utils import checkpoint as ckpt_mod
+from .utils import config as config_mod
+from .utils import io as ioutil
+from .utils import logging as logutil
+
+logger = logutil.Logger(loggee="trainvali")
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", type=str, default="config.ini",
+                   help="a .ini file in nlt_tpu/config/ or a full path")
+    p.add_argument("--debug", action="store_true",
+                   help="truncate every epoch after one batch")
+    p.add_argument("--device", type=str, default="auto",
+                   choices=["auto", "cpu", "tpu"],
+                   help="cpu forces the host backend")
+    p.add_argument("--n_tile", type=int, default=1,
+                   help="devices along the texel-tile mesh axis")
+    return p.parse_args(argv)
+
+
+def resolve_config_path(config_flag):
+    if exists(config_flag):
+        return config_flag
+    return join(dirname(__file__), "config", config_flag)
+
+
+def strip_host_fields(batch):
+    """Split a batch into (device arrays, host metadata)."""
+    arrays = {k: v for k, v in batch.items() if not isinstance(v, list)}
+    meta = {k: v for k, v in batch.items() if isinstance(v, list)}
+    return arrays, meta
+
+
+class ScalarWriter:
+    """JSONL scalar logs (the TensorBoard replacement)."""
+
+    def __init__(self, outdir):
+        os.makedirs(outdir, exist_ok=True)
+        self.path = join(outdir, "scalars.jsonl")
+
+    def scalar(self, tag, value, step):
+        with open(self.path, "a") as h:
+            h.write(json.dumps(
+                {"tag": tag, "value": float(value), "step": int(step),
+                 "wall_time": time.time()}) + "\n")
+
+    def text(self, tag, value, step):
+        self.scalar("text/" + tag, 0.0, step)
+        with open(self.path, "a") as h:
+            h.write(json.dumps(
+                {"tag": tag, "text": str(value), "step": int(step)}) + "\n")
+
+
+def maintain_epoch_queue(queue_, new_epoch_dir):
+    """Keep only the most recent epoch vis dirs
+    (reference: nlt/trainvali.py:328-332)."""
+    queue_.appendleft(new_epoch_dir)
+    for epoch_dir in glob(join(dirname(new_epoch_dir), "*")):
+        if epoch_dir not in queue_:
+            rmtree(epoch_dir, ignore_errors=True)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if args.debug:
+        logger.warn("Debug mode: On")
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    config_ini = resolve_config_path(args.config)
+    config = config_mod.read_config(config_ini)
+
+    # Output directory from the xname template
+    # (reference: trainvali.py:62-71).
+    xname = config.xname()
+    outroot = config.get("outroot")
+    outdir = join(outroot, xname)
+    overwrite = config.get_bool("overwrite")
+    ioutil.prepare_outdir(outdir, overwrite=overwrite)
+    logger.info("For results, see:\n\t%s", outdir)
+    copyfile(config_ini, outdir.rstrip("/") + ".ini")
+
+    # Mesh over all devices: data-parallel batch axis (+ optional tile),
+    # clamped so the data axis divides the batch size.
+    mesh = mesh_mod.make_mesh(
+        n_tile=args.n_tile, batch_size=config.get_int("bs"))
+    logger.info("Mesh: %s over %d devices", mesh.shape, len(jax.devices()))
+    tile_spatial = args.n_tile > 1
+
+    # Datasets
+    dataset_name = config.get("dataset")
+    Dataset = datasets_mod.get_dataset_class(dataset_name)
+    dataset_train = Dataset(config, "train")
+    no_batch = config.get_bool("no_batch", False)
+    try:
+        dataset_vali = Dataset(config, "vali")
+    except (FileNotFoundError, AssertionError) as e:
+        logger.warn("No validation data: %s", e)
+        dataset_vali = None
+
+    # Fixed validation batches (reference: trainvali.py:98-111).
+    vali_batches = None
+    if dataset_vali is not None:
+        n_vali_batches = config.get_int("vali_batches", -1)
+        vali_batches = []
+        for i, b in enumerate(dataset_vali.iterate(seed=0)):
+            if 0 <= n_vali_batches <= i:
+                break
+            vali_batches.append(b)
+
+    # Model + optimizer + state
+    model_name = config.get("model")
+    ModelCls = models_mod.get_model_class(model_name)
+    model = ModelCls(config)
+    lr = config.get_float("lr")
+    mgm = config.get_float("mgm", -1)
+    tx = train_mod.make_optimizer(lr, mgm)
+    state = train_mod.init_state(model, tx, jax.random.PRNGKey(0))
+    state = jax.device_put(state, mesh_mod.replicated(mesh))
+
+    # Checkpoint restore (epoch counter in the ckpt step number).
+    ckptdir = join(outdir, "checkpoints")
+    keep_recent = config.get_int("keep_recent_epochs", -1)
+    manager = ckpt_mod.CheckpointManager(ckptdir, max_to_keep=keep_recent)
+    state, epoch_restored = manager.restore(state)
+
+    train_step = train_mod.make_train_step(
+        model, tx, mesh=mesh, tile_spatial=tile_spatial)
+    eval_step = train_mod.make_eval_step(
+        model, mesh=mesh, tile_spatial=tile_spatial)
+
+    # Summary writers + vis dir templates (reference: trainvali.py:144-161).
+    writer_train = ScalarWriter(join(outdir, "summary_train"))
+    writer_vali = ScalarWriter(join(outdir, "summary_vali"))
+    train_vis_epoch_dir = join(outdir, "vis_train", "epoch{e:09d}")
+    vali_vis_epoch_dir = join(outdir, "vis_vali", "epoch{e:09d}")
+    keep = keep_recent if keep_recent > 0 else None
+    train_deque = deque([], keep)
+    vali_deque = deque([], keep)
+
+    epochs = config.get_int("epochs")
+    vis_train_batches = config.get_int("vis_train_batches", 4)
+    ckpt_period = config.get_int("ckpt_period", 1)
+    vali_period = config.get_int("vali_period", 1)
+
+    for epoch_i in range(epoch_restored, epochs):
+        # ---- train over all batches ----
+        batch_loss, batch_vis, batch_time = [], [], []
+        for batch_i, batch in enumerate(
+                dataset_train.iterate(seed=epoch_i, no_batch=no_batch)):
+            arrays, meta = strip_host_fields(batch)
+            arrays = mesh_mod.shard_batch(mesh, arrays, tile_spatial)
+            t0 = time.time()
+            state, loss, to_vis = train_step(state, arrays)
+            loss = float(loss)  # blocks; keeps timing honest
+            batch_time.append(time.time() - t0)
+            batch_loss.append(loss)
+            if batch_i < vis_train_batches:
+                to_vis = {k: np.asarray(v) for k, v in to_vis.items()}
+                to_vis.update(meta)
+                batch_vis.append(to_vis)
+            if args.debug:
+                logger.warn("Debug mode: Skipping the rest of this epoch")
+                break
+        assert batch_time, "Dataset is empty"
+
+        step = epoch_i + 1
+
+        # ---- checkpoint + train summaries/vis ----
+        if step % ckpt_period == 0:
+            saved = manager.save(step, state)
+            logger.info("Checkpointed epoch %d:\n\t%s", step, saved)
+            writer_train.scalar(
+                "loss_train", float(np.mean(batch_loss)), step)
+            writer_train.scalar(
+                "batch_time_train", float(np.mean(batch_time)), step)
+            vis_dirs = []
+            for batch_i, to_vis in enumerate(batch_vis):
+                vis_dir = join(
+                    train_vis_epoch_dir.format(e=step),
+                    "batch%09d" % batch_i)
+                raw_f = join(
+                    train_vis_epoch_dir.format(e=step),
+                    "batch%09d_raw.pickle" % batch_i)
+                model.vis_batch(
+                    to_vis, vis_dir, mode="train", dump_raw_to=raw_f)
+                vis_dirs.append(vis_dir)
+            comp_f = join(train_vis_epoch_dir.format(e=step), "all")
+            view_at = model.compile_batch_vis(vis_dirs, comp_f, mode="train")
+            if view_at is not None:
+                writer_train.text("vis_train", view_at, step)
+            maintain_epoch_queue(
+                train_deque, train_vis_epoch_dir.format(e=step))
+
+        # ---- validation ----
+        if vali_batches and vali_period > 0 and step % vali_period == 0:
+            v_loss, v_vis = [], []
+            for batch in vali_batches:
+                arrays, meta = strip_host_fields(batch)
+                arrays = mesh_mod.shard_batch(mesh, arrays, tile_spatial)
+                loss, to_vis = eval_step(state, arrays)
+                v_loss.append(float(loss))
+                to_vis = {k: np.asarray(v) for k, v in to_vis.items()}
+                to_vis.update(meta)
+                v_vis.append(to_vis)
+            writer_vali.scalar("loss_vali", float(np.mean(v_loss)), step)
+            vis_dirs = []
+            for batch_i, to_vis in enumerate(v_vis):
+                vis_dir = join(
+                    vali_vis_epoch_dir.format(e=step),
+                    "batch%09d" % batch_i)
+                model.vis_batch(to_vis, vis_dir, mode="vali")
+                vis_dirs.append(vis_dir)
+            comp_f = join(vali_vis_epoch_dir.format(e=step), "all")
+            view_at = model.compile_batch_vis(vis_dirs, comp_f, mode="vali")
+            if view_at is not None:
+                writer_vali.text("vis_vali", view_at, step)
+            maintain_epoch_queue(
+                vali_deque, vali_vis_epoch_dir.format(e=step))
+
+        logger.info(
+            "Epoch %d/%d  loss %.6f  (%.3f s/batch)", step, epochs,
+            float(np.mean(batch_loss)), float(np.mean(batch_time)))
+
+    manager.wait()
+    manager.close()
+    logger.info("Training done: %d epochs", epochs)
+    return outdir
+
+
+if __name__ == "__main__":
+    main()

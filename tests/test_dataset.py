@@ -1,0 +1,155 @@
+"""Data-layer integration tests: synthetic generation -> file-list JSON
+-> dataset loading with holdout split, nn lookup, caching, and pipeline
+collation (reference behaviors: nlt/datasets/nlt.py:54-100, 115-184)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from nlt_tpu.datasets import get_dataset_class
+from nlt_tpu.utils.config import Config
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def scene_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("scene") / "sphere")
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "data_gen", "synthesize.py"),
+         "--outroot", root, "--n_cams", "3", "--n_lights", "3",
+         "--n_test", "2", "--imh", "32", "--uvs", "32"],
+        check=True, capture_output=True)
+    return root
+
+
+def scene_config(scene_root, **overrides):
+    cfg = {
+        "dataset": "nlt", "model": "nlt", "loss": "l1",
+        "imh": 32, "imw": 32, "uvh": 32, "uvw": 32,
+        "use_obs": True, "skip_connect_base": True,
+        "linear_space": False,
+        "depth0": 16, "depth": 16, "kernel": 2, "stride": 2,
+        "norm": "None", "act": "leakyrelu", "pool": "None",
+        "bs": 2, "cache": False,
+        "data_root": scene_root,
+        "holdout_cam": "C02", "holdout_light": "L002",
+    }
+    cfg.update(overrides)
+    return Config(cfg)
+
+
+def test_file_list_contract(scene_root):
+    fl = json.load(open(scene_root + ".json"))
+    assert len(fl) == 9 + 2
+    tv = [k for k in fl if k.startswith("trainvali_")]
+    te = [k for k in fl if k.startswith("test_")]
+    assert len(tv) == 9 and len(te) == 2
+    assert all(fl[k]["complete"] for k in fl)
+    for key in ("cam", "cvis", "diffuse", "light", "lvis", "nn", "uv2cam"):
+        assert key in fl[tv[0]]
+    for key in ("alpha", "rgb", "rgb_camspc"):
+        assert key in fl[tv[0]]
+        assert key not in fl[te[0]]
+
+
+def test_holdout_split(scene_root):
+    ds_train = get_dataset_class("nlt")(scene_config(scene_root), "train")
+    ds_vali = get_dataset_class("nlt")(scene_config(scene_root), "vali")
+    ds_test = get_dataset_class("nlt")(scene_config(scene_root), "test")
+    # 3x3 product: holdout C02 x L002 -> 1 vali, 8 train
+    assert len(ds_vali) == 1
+    assert len(ds_train) == 8
+    assert len(ds_test) == 2
+    assert set(ds_train.files).isdisjoint(ds_vali.files)
+    for id_ in ds_vali.files:
+        assert id_.endswith("_C02_L002")
+
+
+def test_load_item_contract(scene_root):
+    ds = get_dataset_class("nlt")(scene_config(scene_root), "train")
+    item = ds._load_item(sorted(ds.files)[0])
+    assert item["base"].shape == (32, 32, 3)
+    assert item["cvis"].shape == (32, 32, 1)
+    assert item["lvis"].shape == (32, 32, 1)
+    assert item["warp"].shape == (32, 32, 2)
+    assert item["rgb"].shape == (32, 32, 3)
+    assert item["rgb_camspc"].shape == (32, 32, 3)
+    assert item["nn_base"].shape == (32, 32, 3)
+    assert item["id"].startswith("trainvali_")
+    assert item["nn_id"].startswith("trainvali_")
+    # nn must reference a DIFFERENT (cam, light) config
+    assert item["nn_id"] != item["id"]
+    for k, v in item.items():
+        if isinstance(v, np.ndarray):
+            assert v.dtype == np.float32
+            assert np.all(np.isfinite(v))
+
+
+def test_warp_range_and_background(scene_root):
+    ds = get_dataset_class("nlt")(scene_config(scene_root), "train")
+    item = ds._load_item(sorted(ds.files)[0])
+    warp = item["warp"]
+    assert warp.min() >= 0.0 and warp.max() <= 1.0
+    # Some background pixels must be exactly 0 (the corner trick)
+    assert (np.all(warp == 0, axis=-1)).sum() > 0
+
+
+def test_test_mode_placeholders(scene_root):
+    ds = get_dataset_class("nlt")(scene_config(scene_root), "test")
+    item = ds._load_item(sorted(ds.files)[0])
+    np.testing.assert_array_equal(item["rgb"], 0)
+    np.testing.assert_array_equal(item["rgb_camspc"], 0)
+
+
+def test_pipeline_batches(scene_root):
+    ds = get_dataset_class("nlt")(scene_config(scene_root), "train")
+    batches = list(ds.iterate(seed=0))
+    assert len(batches) == 4  # 8 examples / bs 2
+    b = batches[0]
+    assert b["base"].shape == (2, 32, 32, 3)
+    assert isinstance(b["id"], list) and len(b["id"]) == 2
+    # Epoch reshuffling changes order
+    order0 = [i for b in ds.iterate(seed=0) for i in b["id"]]
+    order1 = [i for b in ds.iterate(seed=1) for i in b["id"]]
+    assert order0 != order1
+    assert sorted(order0) == sorted(order1)
+    # vali/test not shuffled
+    ds_test = get_dataset_class("nlt")(scene_config(scene_root), "test")
+    t0 = [i for b in ds_test.iterate(seed=0) for i in b["id"]]
+    t1 = [i for b in ds_test.iterate(seed=5) for i in b["id"]]
+    assert t0 == t1 == sorted(t0)
+
+
+def test_cache_returns_same_data(scene_root):
+    cfg = scene_config(scene_root, cache=True)
+    ds = get_dataset_class("nlt")(cfg, "train")
+    b1 = next(iter(ds.iterate(seed=0)))
+    b2 = next(iter(ds.iterate(seed=0)))
+    np.testing.assert_array_equal(b1["base"], b2["base"])
+    assert len(ds._cache) > 0
+
+
+def test_missing_file_list_raises(tmp_path):
+    cfg = scene_config(str(tmp_path / "nonexistent"))
+    with pytest.raises(FileNotFoundError):
+        get_dataset_class("nlt")(cfg, "train")
+
+
+def test_incomplete_config_skipped(scene_root, tmp_path):
+    """IDs flagged incomplete are excluded
+    (reference: nlt/datasets/nlt.py:63-68)."""
+    fl = json.load(open(scene_root + ".json"))
+    some_id = sorted(k for k in fl if k.startswith("trainvali_"))[0]
+    fl[some_id]["complete"] = False
+    mod_root = str(tmp_path / "modscene")
+    os.symlink(scene_root, mod_root)
+    with open(mod_root + ".json", "w") as h:
+        json.dump(fl, h)
+    ds = get_dataset_class("nlt")(scene_config(mod_root), "train")
+    assert some_id not in ds.files
+    assert len(ds) == 7

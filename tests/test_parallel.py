@@ -1,0 +1,133 @@
+"""Distribution tests on the 8-device CPU mesh: data-parallel and
+texel-tile-sharded train steps compile and execute, losses match the
+single-device result, and state stays replicated (the TPU-native
+replacement for MirroredStrategy, SURVEY.md §2.5)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nlt_tpu.models import get_model_class
+from nlt_tpu.parallel import mesh as mesh_mod
+from nlt_tpu.parallel import train as train_mod
+from nlt_tpu.utils.config import Config
+
+UVH = 32
+
+
+def small_config(**overrides):
+    cfg = {
+        "dataset": "nlt", "model": "nlt", "loss": "l1",
+        "imh": UVH, "imw": UVH, "uvh": UVH, "uvw": UVH,
+        "use_obs": True, "skip_connect_base": True,
+        "linear_space": False,
+        "depth0": 16, "depth": 16, "kernel": 2, "stride": 2,
+        "norm": "None", "act": "leakyrelu", "pool": "None",
+        "bs": 8,
+    }
+    cfg.update(overrides)
+    return Config(cfg)
+
+
+def make_batch(rng, n=8):
+    def img(c):
+        return rng.uniform(0, 1, (n, UVH, UVH, c)).astype(np.float32)
+
+    xs, ys = np.meshgrid(np.arange(UVH), np.arange(UVH))
+    warp = np.stack([xs / UVH, ys / UVH], -1).astype(np.float32)
+    return {
+        "base": img(3), "cvis": img(1), "lvis": img(1),
+        "warp": np.tile(warp[None], (n, 1, 1, 1)),
+        "rgb": img(3), "rgb_camspc": img(3),
+        "nn_base": img(3), "nn_rgb": img(3), "nn_rgb_camspc": img(3),
+    }
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8, (
+        "conftest must provide 8 virtual CPU devices")
+
+
+def test_mesh_shapes():
+    mesh = mesh_mod.make_mesh()
+    assert mesh.shape == {"data": 8, "tile": 1}
+    mesh2 = mesh_mod.make_mesh(n_tile=4)
+    assert mesh2.shape == {"data": 2, "tile": 4}
+    with pytest.raises(AssertionError):
+        mesh_mod.make_mesh(n_data=3, n_tile=3)
+
+
+def test_data_parallel_step_matches_single_device(rng):
+    model = get_model_class("nlt")(small_config())
+    tx = train_mod.make_optimizer(1e-3)
+    batch = make_batch(rng)
+
+    # Single-device reference
+    state1 = train_mod.init_state(model, tx, jax.random.PRNGKey(0))
+    step1 = train_mod.make_train_step(model, tx)
+    arrays = {k: jnp.asarray(v) for k, v in batch.items()}
+    state1, loss1, _ = step1(state1, arrays)
+
+    # 8-way data-parallel
+    mesh = mesh_mod.make_mesh()
+    state8 = train_mod.init_state(model, tx, jax.random.PRNGKey(0))
+    state8 = jax.device_put(state8, mesh_mod.replicated(mesh))
+    step8 = train_mod.make_train_step(model, tx, mesh=mesh)
+    sharded = mesh_mod.shard_batch(mesh, batch)
+    state8, loss8, to_vis = step8(state8, sharded)
+
+    np.testing.assert_allclose(float(loss1), float(loss8), rtol=1e-5)
+    # Updated parameters identical
+    p1 = jax.tree.leaves(state1["params"]["net"])
+    p8 = jax.tree.leaves(state8["params"]["net"])
+    for a, b in zip(p1, p8):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5)
+    # Vis outputs batch-sharded but globally correct
+    assert to_vis["pred"].shape[0] == 8
+
+
+def test_texel_tile_sharded_step(rng):
+    """2 data x 4 tile: UV rows sharded across chips; XLA inserts conv
+    halo exchanges. Loss must match the unsharded run."""
+    model = get_model_class("nlt")(small_config())
+    tx = train_mod.make_optimizer(1e-3)
+    batch = make_batch(rng)
+
+    state1 = train_mod.init_state(model, tx, jax.random.PRNGKey(0))
+    step1 = train_mod.make_train_step(model, tx)
+    arrays = {k: jnp.asarray(v) for k, v in batch.items()}
+    _, loss1, _ = step1(state1, arrays)
+
+    mesh = mesh_mod.make_mesh(n_tile=4)
+    state = train_mod.init_state(model, tx, jax.random.PRNGKey(0))
+    state = jax.device_put(state, mesh_mod.replicated(mesh))
+    step = train_mod.make_train_step(
+        model, tx, mesh=mesh, tile_spatial=True)
+    sharded = mesh_mod.shard_batch(mesh, batch, tile_spatial=True)
+    _, loss_t, _ = step(state, sharded)
+    np.testing.assert_allclose(float(loss1), float(loss_t), rtol=1e-4)
+
+
+def test_eval_step_sharded(rng):
+    model = get_model_class("nlt")(small_config())
+    tx = train_mod.make_optimizer(1e-3)
+    mesh = mesh_mod.make_mesh()
+    state = train_mod.init_state(model, tx, jax.random.PRNGKey(0))
+    state = jax.device_put(state, mesh_mod.replicated(mesh))
+    eval_step = train_mod.make_eval_step(model, mesh=mesh)
+    batch = mesh_mod.shard_batch(mesh, make_batch(rng))
+    loss, to_vis = eval_step(state, batch)
+    assert np.isfinite(float(loss))
+    assert to_vis["pred_camspc"].shape == (8, UVH, UVH, 3)
+
+
+def test_global_batch_from_local(rng):
+    """Single-process path of the multi-host batch assembly."""
+    mesh = mesh_mod.make_mesh()
+    batch = make_batch(rng)
+    global_batch = mesh_mod.make_global_batch(mesh, batch)
+    assert global_batch["base"].shape == (8, UVH, UVH, 3)
+    np.testing.assert_allclose(
+        np.asarray(global_batch["base"]), batch["base"])

@@ -1,0 +1,152 @@
+"""End-to-end driver tests: trainvali on a synthetic scene (checkpoints,
+scalars, vis, resume) and the nlt_test inference pipeline
+(reference flows: nlt/trainvali.py:48-251, nlt/nlt_test.py:130-158)."""
+
+import json
+import os
+import subprocess
+import sys
+from glob import glob
+from os.path import join
+
+import numpy as np
+import pytest
+
+from nlt_tpu.utils.config import Config
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def scene_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("scene") / "sphere")
+    subprocess.run(
+        [sys.executable, join(REPO, "data_gen", "synthesize.py"),
+         "--outroot", root, "--n_cams", "3", "--n_lights", "3",
+         "--n_test", "2", "--imh", "32", "--uvs", "32"],
+        check=True, capture_output=True)
+    return root
+
+
+def write_ini(tmp_path, scene_root, **overrides):
+    cfg = {
+        "dataset": "nlt", "model": "nlt", "loss": "l1",
+        "no_batch": False,
+        "imh": 32, "imw": 32, "uvh": 32, "uvw": 32,
+        "use_obs": True, "skip_connect_base": True,
+        "linear_space": False,
+        "depth0": 16, "depth": 16, "kernel": 2, "stride": 2,
+        "norm": "None", "act": "leakyrelu", "pool": "None",
+        "bs": 2, "cache": True,
+        "data_root": scene_root,
+        "holdout_cam": "C02", "holdout_light": "L002",
+        "lr": "1e-3", "mgm": -1, "epochs": 2,
+        "ckpt_period": 1, "vali_period": 1, "vis_train_batches": 1,
+        "vali_batches": 1, "keep_recent_epochs": 2,
+        "overwrite": True,
+        "outroot": str(tmp_path / "out"),
+        "xname": "sphere_lr:{lr}_depth:{depth}",
+    }
+    cfg.update(overrides)
+    c = Config(cfg)
+    ini = str(tmp_path / "exp.ini")
+    c.save(ini)
+    return ini
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory, scene_root):
+    """Train 2 epochs once; several tests inspect the artifacts."""
+    from nlt_tpu import trainvali
+    tmp_path = tmp_path_factory.mktemp("train")
+    ini = write_ini(tmp_path, scene_root)
+    outdir = trainvali.main(["--config", ini])
+    return tmp_path, ini, outdir
+
+
+def test_outdir_artifacts(trained):
+    _, _, outdir = trained
+    assert os.path.isdir(join(outdir, "checkpoints"))
+    assert os.path.exists(outdir.rstrip("/") + ".ini")
+    scalars = join(outdir, "summary_train", "scalars.jsonl")
+    assert os.path.exists(scalars)
+    tags = [json.loads(line)["tag"] for line in open(scalars)]
+    assert "loss_train" in tags and "batch_time_train" in tags
+    assert os.path.exists(join(outdir, "summary_vali", "scalars.jsonl"))
+
+
+def test_vis_artifacts(trained):
+    _, _, outdir = trained
+    htmls = glob(join(outdir, "vis_train", "epoch*", "all.html"))
+    assert htmls, "No train vis HTML"
+    pngs = glob(join(outdir, "vis_train", "epoch*", "batch*", "*_pred.png"))
+    assert pngs
+    vali_htmls = glob(join(outdir, "vis_vali", "epoch*", "all.html"))
+    assert vali_htmls
+
+
+def test_loss_decreases(trained):
+    _, _, outdir = trained
+    scalars = join(outdir, "summary_train", "scalars.jsonl")
+    losses = [json.loads(line) for line in open(scalars)]
+    losses = [x["value"] for x in losses if x["tag"] == "loss_train"]
+    assert len(losses) == 2
+    assert losses[-1] < losses[0], losses
+
+
+def test_checkpoints_saved(trained):
+    _, _, outdir = trained
+    from nlt_tpu.utils.checkpoint import CheckpointManager
+    mgr = CheckpointManager(join(outdir, "checkpoints"))
+    assert mgr.latest_step() == 2
+    mgr.close()
+
+
+def test_resume_continues(trained, scene_root):
+    """Re-running with more epochs resumes from the checkpoint instead of
+    restarting (reference: restore-on-startup, trainvali.py:138-141,
+    168-169)."""
+    from nlt_tpu import trainvali
+    tmp_path, ini, outdir = trained
+    cfg = Config.from_ini(ini)
+    cfg.set("epochs", 3)
+    cfg.set("overwrite", False)  # keep the previous outdir
+    ini2 = str(tmp_path / "exp_resume.ini")
+    cfg.save(ini2)
+    outdir2 = trainvali.main(["--config", ini2])
+    assert outdir2 == outdir
+    from nlt_tpu.utils.checkpoint import CheckpointManager
+    mgr = CheckpointManager(join(outdir, "checkpoints"))
+    assert mgr.latest_step() == 3
+    # keep_recent_epochs=2 retention
+    assert len(mgr.all_steps()) <= 2
+    mgr.close()
+
+
+def test_nlt_test_inference(trained):
+    """Full inference: restore, averaged obs features, obs_override,
+    video compilation."""
+    from nlt_tpu import nlt_test
+    _, ini, outdir = trained
+    view_at = nlt_test.main([
+        "--ckpt", join(outdir, "checkpoints"),
+        "--n_obs_batches", "1", "--fps", "4"])
+    assert os.path.exists(view_at)
+    pred_pngs = glob(join(
+        ini[:-len(".ini")] if False else outdir, "vis_test", "*",
+        "batch*", "*_pred.png"))
+    assert pred_pngs
+    meta = glob(join(outdir, "vis_test", "*", "batch*", "*_metadata.json"))
+    assert meta
+    md = json.load(open(meta[0]))
+    assert md["id"].startswith("test_")
+
+
+def test_debug_flag_truncates(tmp_path, scene_root):
+    from nlt_tpu import trainvali
+    ini = write_ini(tmp_path, scene_root, epochs=1,
+                    xname="debugrun_{lr}")
+    outdir = trainvali.main(["--config", ini, "--debug"])
+    scalars = join(outdir, "summary_train", "scalars.jsonl")
+    recs = [json.loads(line) for line in open(scalars)]
+    assert any(r["tag"] == "loss_train" for r in recs)
