@@ -45,15 +45,15 @@ def main():
     batch = {k: jax.device_put(np.asarray(v)) for k, v in batch.items()}
 
     # Warmup / compile
-    for _ in range(2):
-        state, loss, _ = train_step(state, batch)
-    jax.block_until_ready(loss)
+    for _ in range(3):
+        state, loss, vis = train_step(state, batch)
+    jax.block_until_ready((loss, vis))
 
-    n_steps = 10
+    n_steps = 20
     t0 = time.perf_counter()
     for _ in range(n_steps):
-        state, loss, _ = train_step(state, batch)
-    jax.block_until_ready(loss)
+        state, loss, vis = train_step(state, batch)
+    jax.block_until_ready((loss, vis))
     dt = (time.perf_counter() - t0) / n_steps
 
     texels_per_sec = BS * RES * RES / dt

@@ -36,8 +36,8 @@ from itertools import product
 
 import numpy as np
 
+from .. import io_native
 from ..utils import io as ioutil
-from ..utils import img as imgutil
 from ..utils import logging as logutil
 from .base import Dataset as BaseDataset
 
@@ -108,35 +108,34 @@ class Dataset(BaseDataset):
         raise ValueError(
             "Found %d matches:\n\t%s" % (len(matched), matched))
 
+    @staticmethod
+    def _load_png(path, new_h, new_w=None, n_ch=None):
+        """Decode + normalize + resize in one native call (C++ libpng via
+        nlt_tpu.io_native; PIL fallback inside). Replaces the reference's
+        PIL-load -> normalize_uint -> cv2-resize chain
+        (reference: nlt/datasets/nlt.py:121-146)."""
+        arr = io_native.load_png_f32(path, new_h=new_h, new_w=new_w)
+        if n_ch is not None and arr.ndim == 3:
+            arr = arr[:, :, :n_ch]
+        return arr
+
     def _load_item(self, id_):
         paths = self.data_paths[id_]
         imh = self.config.get_int("imh")
         imw = self.config.get_int("imw")
         uvh = self.config.get_int("uvh")
 
-        base = ioutil.load_img(paths["diffuse"])[:, :, :3]
-        cvis = ioutil.load_img(paths["cvis"])
-        lvis = ioutil.load_img(paths["lvis"])
+        base = self._load_png(paths["diffuse"], uvh, n_ch=3)
+        cvis = self._load_png(paths["cvis"], uvh)
+        lvis = self._load_png(paths["lvis"], uvh)
         warp = ioutil.read_npy(paths["uv2cam"])
         if self.mode == "test":
             rgb = np.zeros_like(base)
-            rgb_camspc = np.zeros((imh, imw, 3))
+            rgb_camspc = np.zeros((imh, imw, 3), np.float32)
         else:
-            rgb = ioutil.load_img(paths["rgb"])[:, :, :3]
-            rgb_camspc = ioutil.load_img(paths["rgb_camspc"])[:, :, :3]
-
-        base = ioutil.normalize_uint(base)
-        cvis = ioutil.normalize_uint(cvis)
-        lvis = ioutil.normalize_uint(lvis)
-        if self.mode != "test":
-            rgb = ioutil.normalize_uint(rgb)
-            rgb_camspc = ioutil.normalize_uint(rgb_camspc)
-
-        base = imgutil.resize(base, new_h=uvh)
-        cvis = imgutil.resize(cvis, new_h=uvh)
-        lvis = imgutil.resize(lvis, new_h=uvh)
-        rgb = imgutil.resize(rgb, new_h=uvh)
-        rgb_camspc = imgutil.resize(rgb_camspc, new_h=imh, new_w=imw)
+            rgb = self._load_png(paths["rgb"], uvh, n_ch=3)
+            rgb_camspc = self._load_png(
+                paths["rgb_camspc"], imh, imw, n_ch=3)
         # NOTE: warp is never resized — warp first, then resize
         # (reference: nlt/datasets/nlt.py:147-148).
 
@@ -149,16 +148,10 @@ class Dataset(BaseDataset):
             nn_rgb_camspc = np.zeros_like(rgb_camspc)
         else:
             nn_paths = self.data_paths[nn_id]
-            nn_base = ioutil.normalize_uint(
-                ioutil.load_img(nn_paths["diffuse"])[:, :, :3])
-            nn_rgb = ioutil.normalize_uint(
-                ioutil.load_img(nn_paths["rgb"])[:, :, :3])
-            nn_rgb_camspc = ioutil.normalize_uint(
-                ioutil.load_img(nn_paths["rgb_camspc"])[:, :, :3])
-            nn_base = imgutil.resize(nn_base, new_h=uvh)
-            nn_rgb = imgutil.resize(nn_rgb, new_h=uvh)
-            nn_rgb_camspc = imgutil.resize(
-                nn_rgb_camspc, new_h=imh, new_w=imw)
+            nn_base = self._load_png(nn_paths["diffuse"], uvh, n_ch=3)
+            nn_rgb = self._load_png(nn_paths["rgb"], uvh, n_ch=3)
+            nn_rgb_camspc = self._load_png(
+                nn_paths["rgb_camspc"], imh, imw, n_ch=3)
 
         def f32(x):
             return np.ascontiguousarray(x, np.float32)

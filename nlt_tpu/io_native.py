@@ -1,0 +1,130 @@
+"""ctypes bindings for the native host-IO library (native/nltio.cc).
+
+Auto-builds libnltio.so on first use (g++ + libpng are part of the
+toolchain); falls back to PIL transparently if the build or load fails,
+so the framework stays importable in minimal environments. ctypes calls
+release the GIL, so the dataset's thread-pool workers decode in
+parallel.
+"""
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+from .utils import logging as logutil
+
+logger = logutil.Logger(loggee="io_native")
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "libnltio.so")
+
+_lib = None
+_lib_lock = threading.Lock()
+_tried = False
+
+
+def _build():
+    subprocess.run(
+        ["make", "-C", _NATIVE_DIR, "libnltio.so"],
+        check=True, capture_output=True)
+
+
+def get_lib():
+    """Returns the loaded library or None if unavailable."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    with _lib_lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        try:
+            if not os.path.exists(_SO_PATH) or (
+                    os.path.getmtime(_SO_PATH) < os.path.getmtime(
+                        os.path.join(_NATIVE_DIR, "nltio.cc"))):
+                _build()
+            lib = ctypes.CDLL(_SO_PATH)
+            lib.nltio_png_info.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+            lib.nltio_png_info.restype = ctypes.c_int
+            lib.nltio_load_png_f32.argtypes = [
+                ctypes.c_char_p,
+                np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int]
+            lib.nltio_load_png_f32.restype = ctypes.c_int
+            lib.nltio_resize_bilinear_f32.argtypes = [
+                np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+                ctypes.c_int, ctypes.c_int]
+            lib.nltio_resize_bilinear_f32.restype = None
+            _lib = lib
+            logger.info("Native IO library loaded: %s", _SO_PATH)
+        except Exception as e:
+            logger.warn(
+                "Native IO unavailable (%s: %s); falling back to PIL",
+                type(e).__name__, e)
+            _lib = None
+    return _lib
+
+
+def available():
+    return get_lib() is not None
+
+
+def load_png_f32(path, new_h=None, new_w=None):
+    """Decode a PNG to float32 [0,1] HWC (HxW for grayscale), optionally
+    bilinearly resized to (new_h, new_w). Falls back to the PIL path."""
+    lib = get_lib()
+    if lib is None:
+        from .utils import img as imgutil
+        from .utils import io as ioutil
+        arr = ioutil.normalize_uint(ioutil.load_img(path))
+        if new_h is not None:
+            arr = imgutil.resize(arr, new_h=new_h, new_w=new_w)
+        return np.asarray(arr, np.float32)
+
+    bpath = os.fsencode(path)
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    ch = ctypes.c_int()
+    rc = lib.nltio_png_info(bpath, ctypes.byref(w),
+                            ctypes.byref(h), ctypes.byref(ch))
+    if rc != 0:
+        raise IOError("nltio_png_info failed (%d) for %s" % (rc, path))
+    w, h, ch = w.value, h.value, ch.value
+    if new_h is None:
+        dh, dw = h, w
+    else:
+        dh = new_h
+        dw = new_w if new_w is not None else int(w / h * new_h)
+    out = np.empty((dh, dw, ch), np.float32)
+    rc = lib.nltio_load_png_f32(bpath, out, dh, dw, w, h, ch)
+    if rc != 0:
+        raise IOError("nltio_load_png_f32 failed (%d) for %s" % (rc, path))
+    if ch == 1:
+        return out[:, :, 0]
+    return out
+
+
+def resize_bilinear_f32(img, new_h, new_w):
+    """Native bilinear resize of a float32 HWC/HW image (PIL-free)."""
+    lib = get_lib()
+    img = np.ascontiguousarray(img, np.float32)
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[:, :, None]
+    if lib is None:
+        from .utils import img as imgutil
+        out = imgutil.resize(img, new_h=new_h, new_w=new_w)
+        return out[:, :, 0] if squeeze else out
+    h, w, ch = img.shape
+    out = np.empty((new_h, new_w, ch), np.float32)
+    lib.nltio_resize_bilinear_f32(img, h, w, ch, out, new_h, new_w)
+    return out[:, :, 0] if squeeze else out

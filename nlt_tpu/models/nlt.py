@@ -85,6 +85,12 @@ class Model(BaseModel):
         self.use_obs = config.get_bool("use_obs")
         self.skip_connect_base = config.get_bool("skip_connect_base")
         self.resample_impl = config.get("resample_impl", "xla")
+        # bfloat16 runs the U-Net in half precision (params stay f32;
+        # per-layer casts in networks/elements.py): MXU throughput and
+        # HBM bandwidth both double. Everything outside the net (warp,
+        # resampling, losses) stays float32.
+        self.compute_dtype = jnp.dtype(
+            config.get("compute_dtype", "float32"))
         self.psnr = PSNR(np.float32)
 
     def _init_loss(self):
@@ -157,8 +163,12 @@ class Model(BaseModel):
         x = jnp.concatenate((base, cvis, lvis), axis=3)
         y_obs = [batch["nn_rgb"] - batch["nn_base"]]  # one neighbor
 
+        if self.compute_dtype != jnp.float32:
+            x = x.astype(self.compute_dtype)
+            y_obs = [t.astype(self.compute_dtype) for t in y_obs]
         pred = self._apply_unet(
             params["net"], x, y_obs, obs_override=obs_override)
+        pred = pred.astype(jnp.float32)
         if self.skip_connect_base:
             pred = pred + base
 

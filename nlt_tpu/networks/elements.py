@@ -62,9 +62,11 @@ def conv(kernel_size, n_ch_out, stride=1):
             patches = patches.transpose(0, 1, 3, 2, 4, 5).reshape(
                 n, h // k, wd // k, k * k * c)
             wmat = w.reshape(k * k * c, n_ch_out)
+            # Accumulate in f32 on the MXU regardless of activation
+            # dtype (bf16 accumulation falls off the fast path).
             y = jnp.einsum(
                 "nhwi,io->nhwo", patches, wmat,
-                preferred_element_type=x.dtype)
+                preferred_element_type=jnp.float32).astype(x.dtype)
         else:
             y = jax.lax.conv_general_dilated(
                 x, w, window_strides=(stride, stride), padding="SAME",
@@ -92,7 +94,8 @@ def deconv(kernel_size, n_ch_out, stride=1):
             n, h, wd, c = x.shape
             wmat = w.transpose(2, 0, 1, 3).reshape(c, k * k * n_ch_out)
             y = jnp.einsum(
-                "nhwc,co->nhwo", x, wmat, preferred_element_type=x.dtype)
+                "nhwc,co->nhwo", x, wmat,
+                preferred_element_type=jnp.float32).astype(x.dtype)
             y = y.reshape(n, h, wd, k, k, n_ch_out)
             y = y.transpose(0, 1, 3, 2, 4, 5).reshape(
                 n, h * k, wd * k, n_ch_out)
