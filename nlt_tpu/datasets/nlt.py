@@ -46,19 +46,32 @@ logger = logutil.Logger(loggee="datasets/nlt")
 
 class Dataset(BaseDataset):
     def __init__(self, config, mode, **kwargs):
-        self.data_root = config.get("data_root")
-        data_status_path = self.data_root.rstrip("/") + ".json"
-        if not os.path.exists(data_status_path):
-            raise FileNotFoundError(
-                "Data status JSON not found at\n\t%s\nRun "
-                "data_gen/postproc.py (or data_gen/synthesize.py) to "
-                "generate it" % data_status_path)
-        self.data_paths = ioutil.read_json(data_status_path)
-        # Paths in the JSON are relative to data_root.
-        for _, paths in self.data_paths.items():
-            for k, v in paths.items():
-                if k != "complete":
-                    paths[k] = os.path.join(self.data_root, v)
+        # Multi-scene training: data_root may be a comma-separated list
+        # of roots (no reference counterpart — the reference trains one
+        # scene per run). IDs from secondary scenes are namespaced
+        # '<scene>/<id>' so neighbor lookups stay scene-local.
+        self.data_roots = config.get_list("data_root")
+        assert self.data_roots, "Empty data_root"
+        multi = len(self.data_roots) > 1
+        self.data_paths = {}
+        for root in self.data_roots:
+            data_status_path = root.rstrip("/") + ".json"
+            if not os.path.exists(data_status_path):
+                raise FileNotFoundError(
+                    "Data status JSON not found at\n\t%s\nRun "
+                    "data_gen/postproc.py (or data_gen/synthesize.py) to "
+                    "generate it" % data_status_path)
+            scene = os.path.basename(root.rstrip("/"))
+            file_list = ioutil.read_json(data_status_path)
+            for id_, paths in file_list.items():
+                # Paths in the JSON are relative to their root.
+                for k, v in paths.items():
+                    if k != "complete":
+                        paths[k] = os.path.join(root, v)
+                key = "%s/%s" % (scene, id_) if multi else id_
+                assert key not in self.data_paths, (
+                    "Duplicate example ID %r" % key)
+                self.data_paths[key] = paths
         super().__init__(config, mode, **kwargs)
 
     def _glob(self):
@@ -69,7 +82,7 @@ class Dataset(BaseDataset):
         ids = []
         want_prefix = "test" if self.mode == "test" else "trainvali"
         for id_, paths in self.data_paths.items():
-            if not id_.startswith(want_prefix):
+            if not id_.split("/")[-1].startswith(want_prefix):
                 continue
             if not paths["complete"]:
                 logger.warn(
@@ -94,13 +107,15 @@ class Dataset(BaseDataset):
             self.mode, len(ids_split))
         return ids_split
 
-    def _get_nn_id(self, nn):
-        """Resolve nn.json's {cam, light} to a trainvali ID
-        (reference: nlt/datasets/nlt.py:88-100)."""
+    def _get_nn_id(self, nn, scene_prefix=""):
+        """Resolve nn.json's {cam, light} to a trainvali ID, within the
+        same scene when multi-scene (reference: nlt/datasets/nlt.py:88-100).
+        """
         id_regex = re.compile(
             r"trainvali_\d\d\d\d\d\d\d\d\d_{cam}_{light}".format(**nn))
-        matched = [x for x in self.data_paths
-                   if id_regex.search(x) is not None]
+        matched = [
+            x for x in self.data_paths
+            if x.startswith(scene_prefix) and id_regex.search(x) is not None]
         if not matched:
             return None
         if len(matched) == 1:
@@ -140,7 +155,8 @@ class Dataset(BaseDataset):
         # (reference: nlt/datasets/nlt.py:147-148).
 
         nn = ioutil.read_json(paths["nn"])
-        nn_id = self._get_nn_id(nn)
+        scene_prefix = id_.rsplit("/", 1)[0] + "/" if "/" in id_ else ""
+        nn_id = self._get_nn_id(nn, scene_prefix=scene_prefix)
         if nn_id is None:
             nn_id = "incomplete-data_{cam}_{light}".format(**nn)
             nn_base = np.zeros_like(base)

@@ -217,7 +217,29 @@ def build_losses(loss_str, config=None, imh=None, imw=None):
         elif name == "barron":
             assert imh is not None and imw is not None, (
                 "Barron loss needs image dimensions")
-            loss = Barron(imw, imh)
+            # Optional config knobs beyond the reference's fixed settings:
+            # trainable alpha/scale ranges and wavelet weighting
+            # (reference hardcodes alpha=1, scale=0.01, base=1,
+            # nlt/losses.py:91-105).
+            kw = {}
+            if config is not None:
+                if config.has("barron_alpha"):
+                    kw["alpha"] = config.get_float("barron_alpha")
+                if config.has("barron_scale"):
+                    kw["scale"] = config.get_float("barron_scale")
+                if config.has("barron_alpha_lo"):
+                    kw["alpha_lo"] = config.get_float("barron_alpha_lo")
+                if config.has("barron_alpha_hi"):
+                    kw["alpha_hi"] = config.get_float("barron_alpha_hi")
+                if config.has("barron_scale_lo"):
+                    kw["scale_lo"] = config.get_float("barron_scale_lo")
+                if config.has("wavelet_scale_base"):
+                    kw["wavelet_scale_base"] = config.get_float(
+                        "wavelet_scale_base")
+                if config.has("wavelet_num_levels"):
+                    kw["wavelet_num_levels"] = config.get_int(
+                        "wavelet_num_levels")
+            loss = Barron(imw, imh, **kw)
         elif name == "elpips":
             # The reference names ELPIPS but ships no implementation
             # (latent NameError; reference: nlt/models/base.py:49-51,

@@ -59,6 +59,9 @@ def parse_args(argv=None):
                    help="cpu forces the host backend")
     p.add_argument("--n_tile", type=int, default=1,
                    help="devices along the texel-tile mesh axis")
+    p.add_argument("--profile", action="store_true",
+                   help="capture a jax.profiler trace of a few early "
+                        "training steps (to <outdir>/profile)")
     return p.parse_args(argv)
 
 
@@ -187,6 +190,11 @@ def main(argv=None):
     ckpt_period = config.get_int("ckpt_period", 1)
     vali_period = config.get_int("vali_period", 1)
 
+    # Optional profiler capture of steps 2..5 of the first epoch
+    # (step 1 is compile; SURVEY.md §5: the reference has no profiler
+    # hooks, only wall-clock batch times).
+    profile_state = {"on": False, "done": not args.profile}
+
     for epoch_i in range(epoch_restored, epochs):
         # ---- train over all batches ----
         batch_loss, batch_vis, batch_time = [], [], []
@@ -194,10 +202,19 @@ def main(argv=None):
                 dataset_train.iterate(seed=epoch_i, no_batch=no_batch)):
             arrays, meta = strip_host_fields(batch)
             arrays = mesh_mod.shard_batch(mesh, arrays, tile_spatial)
+            if not profile_state["done"] and batch_i == 1:
+                jax.profiler.start_trace(join(outdir, "profile"))
+                profile_state["on"] = True
             t0 = time.time()
             state, loss, to_vis = train_step(state, arrays)
             loss = float(loss)  # blocks; keeps timing honest
             batch_time.append(time.time() - t0)
+            if profile_state["on"] and batch_i >= 4:
+                jax.profiler.stop_trace()
+                profile_state.update(on=False, done=True)
+                logger.info(
+                    "Profiler trace written to %s",
+                    join(outdir, "profile"))
             batch_loss.append(loss)
             if batch_i < vis_train_batches:
                 to_vis = {k: np.asarray(v) for k, v in to_vis.items()}
@@ -218,6 +235,12 @@ def main(argv=None):
                 "loss_train", float(np.mean(batch_loss)), step)
             writer_train.scalar(
                 "batch_time_train", float(np.mean(batch_time)), step)
+            # Texels/sec/chip: the TPU-native speed metric (SURVEY.md §5).
+            texels = (config.get_int("bs") * config.get_int("uvh")
+                      * config.get_int("uvw"))
+            writer_train.scalar(
+                "texels_per_sec",
+                texels / float(np.mean(batch_time)), step)
             vis_dirs = []
             for batch_i, to_vis in enumerate(batch_vis):
                 vis_dir = join(

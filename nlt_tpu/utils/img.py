@@ -188,6 +188,56 @@ def hconcat(img_list, out_w=None):
     return out
 
 
+def rot90(img, counterclockwise=False):
+    """90-degree rotation (host or device arrays;
+    reference: nlt/util/img.py:167-176)."""
+    xp = jnp if isinstance(img, jnp.ndarray) else np
+    k = 1 if counterclockwise else 3
+    return xp.rot90(img, k=k)
+
+
+def put_text(img, text, font_size_ratio=0.06, top_left_ratio=(0.05, 0.05),
+             color=(1, 1, 1)):
+    """Stamp text onto a uint8/float image (PIL-based; replaces the
+    reference's cv2.putText, nlt/util/img.py:201-212)."""
+    from PIL import Image, ImageDraw, ImageFont
+    arr = np.asarray(img)
+    was_float = arr.dtype.kind == "f"
+    if was_float:
+        arr = (np.clip(arr, 0, 1) * 255).round().astype(np.uint8)
+    im = Image.fromarray(arr)
+    draw = ImageDraw.Draw(im)
+    h, w = arr.shape[:2]
+    try:
+        font = ImageFont.truetype(
+            "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf",
+            max(8, int(font_size_ratio * h)))
+    except Exception:
+        font = ImageFont.load_default()
+    xy = (int(top_left_ratio[0] * w), int(top_left_ratio[1] * h))
+    draw.text(xy, text, fill=tuple(int(255 * c) for c in color), font=font)
+    out = np.asarray(im)
+    if was_float:
+        out = out.astype(np.float32) / 255.0
+    return out
+
+
+def embed_into(inset, img, inset_scale=0.2):
+    """Paste a (PIL or array) inset into the top-right corner of `img`,
+    using the inset's alpha as mask (reference: nlt/util/img.py:226-234).
+    """
+    from PIL import Image
+    if not hasattr(inset, "size"):
+        inset = Image.fromarray(np.asarray(inset))
+    inset_h = int(inset_scale * img.shape[0])
+    inset_w = int(inset_h / inset.size[1] * inset.size[0])
+    inset = inset.resize((inset_w, inset_h))
+    bg = Image.fromarray(np.asarray(img))
+    mask = inset if inset.mode == "RGBA" else None
+    bg.paste(inset, (bg.size[0] - inset.size[0], 0), mask)
+    return np.array(bg)
+
+
 def frame_image(img, rgb=(0, 0, 1), width=4):
     img = np.array(img)
     val = np.array(rgb, dtype=img.dtype) * np.iinfo(img.dtype).max

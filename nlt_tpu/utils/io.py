@@ -36,6 +36,12 @@ def prepare_outdir(outdir, overwrite=False, quiet=False):
     os.makedirs(outdir)
 
 
+def sortglob(directory, pattern="*"):
+    """Sorted glob (reference: xiuminglib os.py sortglob)."""
+    import glob as _glob
+    return sorted(_glob.glob(os.path.join(directory, pattern)))
+
+
 # ---- json / pickle / npy ----
 
 def read_json(path):

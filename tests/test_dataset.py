@@ -153,3 +153,26 @@ def test_incomplete_config_skipped(scene_root, tmp_path):
     ds = get_dataset_class("nlt")(scene_config(mod_root), "train")
     assert some_id not in ds.files
     assert len(ds) == 7
+
+
+def test_multi_scene(scene_root, tmp_path_factory):
+    """Comma-separated data_root trains over multiple scenes with
+    scene-local neighbor lookups (no reference counterpart)."""
+    root2 = str(tmp_path_factory.mktemp("scene2") / "sphere_sss")
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "data_gen", "synthesize.py"),
+         "--outroot", root2, "--n_cams", "2", "--n_lights", "2",
+         "--n_test", "1", "--imh", "32", "--uvs", "32", "--sss"],
+        check=True, capture_output=True)
+    cfg = scene_config(scene_root)
+    cfg.set("data_root", scene_root + "," + root2)
+    ds = get_dataset_class("nlt")(cfg, "train")
+    # 8 from scene one (9 - 1 holdout) + 4 from scene two (no holdout hit)
+    assert len(ds) == 12
+    scenes = {i.split("/")[0] for i in ds.files}
+    assert scenes == {"sphere", "sphere_sss"}
+    item = ds._load_item([f for f in ds.files
+                          if f.startswith("sphere_sss/")][0])
+    # Neighbor resolved within the same scene
+    assert item["nn_id"].startswith("sphere_sss/")
+    assert item["base"].shape == (32, 32, 3)

@@ -180,3 +180,20 @@ def test_psnr_metric(rng):
     mask[:8] = True
     val_masked = psnr(im, noisy, mask=mask)
     assert np.isfinite(val_masked)
+
+
+def test_barron_config_trainable_alpha():
+    """Config-driven trainable Barron latents (framework extension over
+    the reference's fixed alpha=1/scale=0.01)."""
+    from nlt_tpu.utils.config import Config
+    import nlt_tpu.losses as losses_mod
+    cfg = Config({
+        "barron_alpha_lo": 0.001, "barron_alpha_hi": 1.999,
+        "barron_scale": 0.01, "barron_scale_lo": 1e-5,
+        "wavelet_scale_base": 0.5,
+    })
+    wloss = losses_mod.build_losses("barron", config=cfg, imh=32, imw=32)
+    b = wloss[0][1]
+    params = b.init_params()
+    assert "latent_alpha" in params and "latent_scale" in params
+    assert b.func.wavelet_scale_base == 0.5
