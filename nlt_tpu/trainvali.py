@@ -113,6 +113,16 @@ def main(argv=None):
         logger.warn("Debug mode: On")
     if args.device == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    # Persistent compilation cache: the flagship step takes ~40 s to
+    # compile; cache it across runs/restarts.
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("NLT_TPU_COMPILE_CACHE",
+                           "/tmp/nlt_tpu_compile_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception as e:  # older jax without the knobs
+        logger.warn("No persistent compilation cache: %s", e)
 
     config_ini = resolve_config_path(args.config)
     config = config_mod.read_config(config_ini)
@@ -198,6 +208,7 @@ def main(argv=None):
     for epoch_i in range(epoch_restored, epochs):
         # ---- train over all batches ----
         batch_loss, batch_vis, batch_time = [], [], []
+        epoch_t0 = time.time()
         for batch_i, batch in enumerate(
                 dataset_train.iterate(seed=epoch_i, no_batch=no_batch)):
             arrays, meta = strip_host_fields(batch)
@@ -207,7 +218,10 @@ def main(argv=None):
                 profile_state["on"] = True
             t0 = time.time()
             state, loss, to_vis = train_step(state, arrays)
-            loss = float(loss)  # blocks; keeps timing honest
+            # Don't block on the loss here: dispatch is async, so the
+            # host thread goes straight back to feeding data while the
+            # device crunches (the reference blocks implicitly in eager
+            # mode every step). Losses are fetched at epoch end.
             batch_time.append(time.time() - t0)
             if profile_state["on"] and batch_i >= 4:
                 jax.profiler.stop_trace()
@@ -224,6 +238,12 @@ def main(argv=None):
                 logger.warn("Debug mode: Skipping the rest of this epoch")
                 break
         assert batch_time, "Dataset is empty"
+        # Sync once per epoch: realize the deferred losses. batch_time
+        # entries are async dispatch times; the honest per-batch figure
+        # is epoch wall time / batches.
+        jax.block_until_ready(batch_loss[-1])
+        batch_loss = [float(x) for x in batch_loss]
+        batch_time = [(time.time() - epoch_t0) / len(batch_time)]
 
         step = epoch_i + 1
 

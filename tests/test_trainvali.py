@@ -150,3 +150,20 @@ def test_debug_flag_truncates(tmp_path, scene_root):
     scalars = join(outdir, "summary_train", "scalars.jsonl")
     recs = [json.loads(line) for line in open(scalars)]
     assert any(r["tag"] == "loss_train" for r in recs)
+
+
+def test_serve(trained):
+    """Serving path: restore, precompute obs features, warm predict."""
+    from nlt_tpu.serve import Server
+    _, _, outdir = trained
+    server = Server(join(outdir, "checkpoints"))
+    server.precompute_obs(n_obs_batches=1)
+    from nlt_tpu.datasets import get_dataset_class
+    Dataset = get_dataset_class(server.config.get("dataset"))
+    ds = get_dataset_class("nlt")(server.config, "test")
+    batch = next(iter(ds.iterate(seed=0)))
+    out = server.predict(batch)
+    assert out["pred_camspc"].shape[1:] == (32, 32, 3)
+    assert np.all(np.isfinite(out["pred_camspc"]))
+    stats = server.benchmark(batch, n=3)
+    assert stats["fps"] > 0
