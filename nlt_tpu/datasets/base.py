@@ -103,16 +103,31 @@ class Dataset:
             return len(self.files) // self.bs
         return -(-len(self.files) // self.bs)
 
-    def iterate(self, seed=None, no_batch=False, drop_remainder=True):
-        """One epoch of batches. Train mode shuffles with `seed`."""
+    def iterate(self, seed=None, no_batch=False, drop_remainder=True,
+                shard_id=0, num_shards=1):
+        """One epoch of batches. Train mode shuffles with `seed`.
+
+        Multi-host: pass (jax.process_index(), jax.process_count()) so
+        each host loads a disjoint slice of each (seed-synchronized)
+        global shuffle and a 1/num_shards-sized local batch — the
+        per-host data loading half of the distributed input pipeline
+        (SURVEY.md §2.5; assembled by parallel.mesh.make_global_batch).
+        """
         ids = sorted(self.files)
         if self.mode == "train":
             rng = np.random.RandomState(seed)
             rng.shuffle(ids)
+        if num_shards > 1:
+            ids = ids[shard_id::num_shards]
         if no_batch:
             bs = 1
         else:
             bs = self.bs
+            if num_shards > 1:
+                assert bs % num_shards == 0, (
+                    "Global batch %d not divisible by %d hosts"
+                    % (bs, num_shards))
+                bs //= num_shards
         n = len(ids) if not drop_remainder else (len(ids) // bs) * bs
         if n == 0:
             n = len(ids)  # fewer examples than a batch: keep the remainder

@@ -62,6 +62,11 @@ def parse_args(argv=None):
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace of a few early "
                         "training steps (to <outdir>/profile)")
+    # Multi-host bring-up (one process per host on a pod slice;
+    # SURVEY.md §2.5's TPU-native equivalent of distributed training).
+    p.add_argument("--coordinator_address", type=str, default=None)
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     return p.parse_args(argv)
 
 
@@ -123,6 +128,13 @@ def main(argv=None):
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     except Exception as e:  # older jax without the knobs
         logger.warn("No persistent compilation cache: %s", e)
+
+    # Multi-host: must run before any other JAX call.
+    mesh_mod.initialize_distributed(
+        coordinator_address=args.coordinator_address,
+        num_processes=args.num_processes,
+        process_id=args.process_id)
+    is_multiprocess = jax.process_count() > 1
 
     config_ini = resolve_config_path(args.config)
     config = config_mod.read_config(config_ini)
@@ -210,9 +222,16 @@ def main(argv=None):
         batch_loss, batch_vis, batch_time = [], [], []
         epoch_t0 = time.time()
         for batch_i, batch in enumerate(
-                dataset_train.iterate(seed=epoch_i, no_batch=no_batch)):
+                dataset_train.iterate(
+                    seed=epoch_i, no_batch=no_batch,
+                    shard_id=jax.process_index(),
+                    num_shards=jax.process_count())):
             arrays, meta = strip_host_fields(batch)
-            arrays = mesh_mod.shard_batch(mesh, arrays, tile_spatial)
+            if is_multiprocess:
+                arrays = mesh_mod.make_global_batch(
+                    mesh, arrays, tile_spatial)
+            else:
+                arrays = mesh_mod.shard_batch(mesh, arrays, tile_spatial)
             if not profile_state["done"] and batch_i == 1:
                 jax.profiler.start_trace(join(outdir, "profile"))
                 profile_state["on"] = True
@@ -249,8 +268,11 @@ def main(argv=None):
 
         # ---- checkpoint + train summaries/vis ----
         if step % ckpt_period == 0:
+            # All processes participate in the save (Orbax multi-host
+            # contract); vis/scalars are host-0 only.
             saved = manager.save(step, state)
             logger.info("Checkpointed epoch %d:\n\t%s", step, saved)
+        if step % ckpt_period == 0 and jax.process_index() == 0:
             writer_train.scalar(
                 "loss_train", float(np.mean(batch_loss)), step)
             writer_train.scalar(
@@ -280,7 +302,8 @@ def main(argv=None):
                 train_deque, train_vis_epoch_dir.format(e=step))
 
         # ---- validation ----
-        if vali_batches and vali_period > 0 and step % vali_period == 0:
+        if vali_batches and vali_period > 0 and step % vali_period == 0 \
+                and jax.process_index() == 0:
             v_loss, v_vis = [], []
             for batch in vali_batches:
                 arrays, meta = strip_host_fields(batch)
