@@ -54,6 +54,12 @@ parser.add_argument("--uvs", type=int, default=128)
 parser.add_argument("--sss", action="store_true",
                     help="wrap-lighting 'subsurface' shading instead of "
                          "specular Blinn-Phong")
+parser.add_argument("--identity_uv", action="store_true",
+                    help="fixed-view relighting setup: treat camera-space "
+                         "images as UV-unwrapped ones with an identity "
+                         "warp (the reference README's sanctioned "
+                         "simplification, README.md:37-43); combine with "
+                         "--n_cams=1")
 parser.add_argument("--seed", type=int, default=0)
 
 SPHERE_R = 1.0
@@ -206,6 +212,33 @@ def render_config(cam, light, imh, uvs, sss):
     }
 
 
+def make_identity_uv(buffers, imh):
+    """Fixed-view relighting: camera space IS the UV space. Warp fields
+    become (alpha-masked) identity grids; UV buffers are replaced by
+    their camera-space counterparts at camera resolution."""
+    ys, xs = np.meshgrid(
+        (np.arange(imh) + 0.5) / imh, (np.arange(imh) + 0.5) / imh,
+        indexing="ij")
+    ident = np.stack([xs, ys], axis=-1).astype(np.float32)
+    fg = buffers["alpha"] > 0.5
+    uv2cam = ident.copy()
+    uv2cam[~fg] = 0.0
+    # Camera-space cosine buffers: re-derive from the UV pass is wrong
+    # here; resample camera-space ones via the original uv2cam instead.
+    from util import remap
+    lvis_cam = remap(buffers["lvis"], buffers["uv2cam"])
+    cvis_cam = remap(buffers["cvis"], buffers["uv2cam"])
+    return {
+        "rgb_camspc": buffers["rgb_camspc"],
+        "alpha": buffers["alpha"],
+        "uv2cam": uv2cam,
+        "cam2uv": uv2cam.copy(),
+        "rgb": buffers["rgb_camspc"].copy(),
+        "lvis": lvis_cam.astype(np.float32),
+        "cvis": cvis_cam.astype(np.float32),
+    }
+
+
 def fibonacci_sphere(n, radius, hemisphere=True, phase=0.0):
     """Even-ish directions on the (upper hemi)sphere."""
     pts = []
@@ -304,6 +337,8 @@ def main(args):
 
     for id_, cam, light, nn in jobs:
         buffers = render_config(cam, light, args.imh, args.uvs, args.sss)
+        if args.identity_uv:
+            buffers = make_identity_uv(buffers, args.imh)
         write_config_dir(join(args.outroot, id_), buffers, cam, light, nn)
         print("rendered", id_)
 

@@ -184,3 +184,29 @@ def test_blender_scripts_gate_cleanly():
             capture_output=True, text=True)
         assert out.returncode != 0
         assert "Blender" in out.stderr
+
+
+def test_synthesize_identity_uv(tmp_path):
+    """--identity_uv: camera space is UV space, identity warps masked by
+    alpha (the reference README's fixed-view simplification)."""
+    root = str(tmp_path / "ident")
+    out = subprocess.run(
+        [sys.executable, join(REPO, "data_gen", "synthesize.py"),
+         "--outroot", root, "--n_cams", "1", "--n_lights", "3",
+         "--n_test", "1", "--imh", "32", "--uvs", "32", "--identity_uv"],
+        capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr
+    d = join(root, sorted(os.listdir(root))[1])  # first config dir
+    warp = np.load(join(d, "uv2cam.npy")).astype(np.float32)
+    from PIL import Image
+    alpha = np.asarray(Image.open(join(d, "alpha.png")), np.float32) / 255
+    fg = alpha > 0.5
+    ys, xs = np.meshgrid((np.arange(32) + .5) / 32, (np.arange(32) + .5) / 32,
+                         indexing="ij")
+    np.testing.assert_allclose(warp[fg][:, 0], xs[fg], atol=2e-3)
+    np.testing.assert_allclose(warp[fg][:, 1], ys[fg], atol=2e-3)
+    np.testing.assert_allclose(warp[~fg], 0.0, atol=1e-6)
+    # UV rgb == camera rgb
+    rgb = np.asarray(Image.open(join(d, "rgb.png")))
+    rgb_cam = np.asarray(Image.open(join(d, "rgb_camspc.png")))
+    np.testing.assert_array_equal(rgb, rgb_cam)
