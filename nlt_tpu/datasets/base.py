@@ -43,10 +43,28 @@ class Dataset:
         self.n_workers = n_workers
         self.prefetch_batches = prefetch_batches
         if cache is None:
-            cache = config.get_bool("cache", False)
+            # cache = False | True/'ram' (decoded examples in RAM, like
+            # tf.data cache(); reference: nlt/datasets/base.py:100-102)
+            # | 'disk' (packed per-example .npz next to the data —
+            # quantizes [0,1] images to uint8, ~1/4 the bytes; first
+            # epoch writes, later epochs skip PNG decode entirely).
+            raw = str(config.get("cache", "False")).strip().lower()
+            cache = {"true": "ram", "1": "ram", "yes": "ram",
+                     "ram": "ram", "disk": "disk"}.get(raw, False)
+        elif cache is True:
+            cache = "ram"
         self.cache_enabled = cache
         self._cache = {}
         self._cache_lock = threading.Lock()
+        if cache == "disk":
+            root = config.get_list("data_root")[0].rstrip("/")
+            self._disk_cache_dir = "%s_cache/%s_uv%s" % (
+                root, mode, config.get("uvh"))
+            import os
+            os.makedirs(self._disk_cache_dir, exist_ok=True)
+        # Dedicated pool for per-field IO inside _load_item (separate
+        # from the per-item pool to avoid nested-submission deadlock).
+        self._io_pool = ThreadPoolExecutor(n_workers)
         self.files = self._glob()
         assert self.files, "No files to process into a dataset"
         self.bs = self._get_batch_size()
@@ -72,15 +90,70 @@ class Dataset:
     def _load_item(self, id_):
         raise NotImplementedError
 
+    # Image-like [0,1] float fields quantized to uint8 in the disk cache
+    # (1/255 quantization — the sources are 8-bit PNGs anyway); warp
+    # stays float16 (its on-disk precision).
+    _DISK_U8_MAX_ERR = 1.0 / 255.0
+
+    def _disk_cache_path(self, id_):
+        import os
+        return os.path.join(
+            self._disk_cache_dir, id_.replace("/", "__") + ".npz")
+
+    def _disk_cache_load(self, id_):
+        import os
+        path = self._disk_cache_path(id_)
+        if not os.path.exists(path):
+            return None
+        item = {}
+        with np.load(path, allow_pickle=False) as f:
+            for k in f.files:
+                v = f[k]
+                if v.dtype == np.uint8 and not k.startswith("str_"):
+                    item[k] = v.astype(np.float32) / 255.0
+                elif v.dtype == np.float16:
+                    item[k] = v.astype(np.float32)
+                elif k.startswith("str_"):
+                    item[k[len("str_"):]] = str(v)
+                else:
+                    item[k] = v
+        return item
+
+    def _disk_cache_save(self, id_, item):
+        path = self._disk_cache_path(id_)
+        save = {}
+        for k, v in item.items():
+            if isinstance(v, str):
+                save["str_" + k] = np.str_(v)
+            elif v.dtype == np.float32 and k == "warp":
+                save[k] = v.astype(np.float16)
+            elif (v.dtype == np.float32 and v.min() >= 0.0
+                    and v.max() <= 1.0):
+                save[k] = np.round(v * 255.0).astype(np.uint8)
+            else:
+                save[k] = v
+        # np.savez appends .npz if missing, so the tmp name must end
+        # with it already.
+        tmp = path + ".tmp%d.npz" % threading.get_ident()
+        np.savez(tmp, **save)
+        import os
+        os.replace(tmp, path)
+
     def _load_cached(self, id_):
-        if self.cache_enabled:
+        if self.cache_enabled == "ram":
             with self._cache_lock:
                 if id_ in self._cache:
                     return self._cache[id_]
+        elif self.cache_enabled == "disk":
+            item = self._disk_cache_load(id_)
+            if item is not None:
+                return item
         item = self._load_item(id_)
-        if self.cache_enabled:
+        if self.cache_enabled == "ram":
             with self._cache_lock:
                 self._cache[id_] = item
+        elif self.cache_enabled == "disk":
+            self._disk_cache_save(id_, item)
         return item
 
     @staticmethod

@@ -139,35 +139,54 @@ class Dataset(BaseDataset):
         imh = self.config.get_int("imh")
         imw = self.config.get_int("imw")
         uvh = self.config.get_int("uvh")
+        submit = self._io_pool.submit
 
-        base = self._load_png(paths["diffuse"], uvh, n_ch=3)
-        cvis = self._load_png(paths["cvis"], uvh)
-        lvis = self._load_png(paths["lvis"], uvh)
-        warp = ioutil.read_npy(paths["uv2cam"])
-        if self.mode == "test":
-            rgb = np.zeros_like(base)
-            rgb_camspc = np.zeros((imh, imw, 3), np.float32)
-        else:
-            rgb = self._load_png(paths["rgb"], uvh, n_ch=3)
-            rgb_camspc = self._load_png(
-                paths["rgb_camspc"], imh, imw, n_ch=3)
+        # Fan the independent decodes out over the IO pool (the
+        # reference's per-example load is fully serial inside
+        # tf.py_function; reference: nlt/datasets/nlt.py:115-184).
+        f_base = submit(self._load_png, paths["diffuse"], uvh, None, 3)
+        f_cvis = submit(self._load_png, paths["cvis"], uvh)
+        f_lvis = submit(self._load_png, paths["lvis"], uvh)
+        f_warp = submit(ioutil.read_npy, paths["uv2cam"])
+        is_test = self.mode == "test"
+        if not is_test:
+            f_rgb = submit(self._load_png, paths["rgb"], uvh, None, 3)
+            f_rgb_cam = submit(
+                self._load_png, paths["rgb_camspc"], imh, imw, 3)
         # NOTE: warp is never resized — warp first, then resize
         # (reference: nlt/datasets/nlt.py:147-148).
 
         nn = ioutil.read_json(paths["nn"])
         scene_prefix = id_.rsplit("/", 1)[0] + "/" if "/" in id_ else ""
         nn_id = self._get_nn_id(nn, scene_prefix=scene_prefix)
+        if nn_id is not None:
+            nn_paths = self.data_paths[nn_id]
+            f_nn_base = submit(
+                self._load_png, nn_paths["diffuse"], uvh, None, 3)
+            f_nn_rgb = submit(
+                self._load_png, nn_paths["rgb"], uvh, None, 3)
+            f_nn_rgb_cam = submit(
+                self._load_png, nn_paths["rgb_camspc"], imh, imw, 3)
+
+        base = f_base.result()
+        cvis = f_cvis.result()
+        lvis = f_lvis.result()
+        warp = f_warp.result()
+        if is_test:
+            rgb = np.zeros_like(base)
+            rgb_camspc = np.zeros((imh, imw, 3), np.float32)
+        else:
+            rgb = f_rgb.result()
+            rgb_camspc = f_rgb_cam.result()
         if nn_id is None:
             nn_id = "incomplete-data_{cam}_{light}".format(**nn)
             nn_base = np.zeros_like(base)
             nn_rgb = np.zeros_like(rgb)
             nn_rgb_camspc = np.zeros_like(rgb_camspc)
         else:
-            nn_paths = self.data_paths[nn_id]
-            nn_base = self._load_png(nn_paths["diffuse"], uvh, n_ch=3)
-            nn_rgb = self._load_png(nn_paths["rgb"], uvh, n_ch=3)
-            nn_rgb_camspc = self._load_png(
-                nn_paths["rgb_camspc"], imh, imw, n_ch=3)
+            nn_base = f_nn_base.result()
+            nn_rgb = f_nn_rgb.result()
+            nn_rgb_camspc = f_nn_rgb_cam.result()
 
         def f32(x):
             return np.ascontiguousarray(x, np.float32)

@@ -176,3 +176,20 @@ def test_multi_scene(scene_root, tmp_path_factory):
     # Neighbor resolved within the same scene
     assert item["nn_id"].startswith("sphere_sss/")
     assert item["base"].shape == (32, 32, 3)
+
+
+def test_disk_cache(scene_root):
+    """cache=disk packs examples as npz; second epoch loads from cache
+    with quantization error <= 1/255 on image fields."""
+    cfg = scene_config(scene_root, cache="disk")
+    ds = get_dataset_class("nlt")(cfg, "train")
+    b1 = next(iter(ds.iterate(seed=0)))
+    # cache files written
+    import glob as g
+    cache_files = g.glob(scene_root.rstrip("/") + "_cache/train_uv32/*.npz")
+    assert cache_files
+    ds2 = get_dataset_class("nlt")(cfg, "train")
+    b2 = next(iter(ds2.iterate(seed=0)))
+    assert b1["id"] == b2["id"]
+    np.testing.assert_allclose(b1["base"], b2["base"], atol=1.01 / 255)
+    np.testing.assert_allclose(b1["warp"], b2["warp"], atol=1e-3)
