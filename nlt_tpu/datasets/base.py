@@ -109,13 +109,13 @@ class Dataset:
         with np.load(path, allow_pickle=False) as f:
             for k in f.files:
                 v = f[k]
-                if v.dtype == np.uint8 and not k.startswith("str_"):
-                    item[k] = v.astype(np.float32) / 255.0
-                elif v.dtype == np.float16:
-                    item[k] = v.astype(np.float32)
-                elif k.startswith("str_"):
+                if k.startswith("str_"):
                     item[k[len("str_"):]] = str(v)
-                else:
+                elif k.startswith("q8_"):   # quantized from float32
+                    item[k[len("q8_"):]] = v.astype(np.float32) / 255.0
+                elif k.startswith("q16_"):
+                    item[k[len("q16_"):]] = v.astype(np.float32)
+                else:                        # stored in native dtype
                     item[k] = v
         return item
 
@@ -126,12 +126,12 @@ class Dataset:
             if isinstance(v, str):
                 save["str_" + k] = np.str_(v)
             elif v.dtype == np.float32 and k == "warp":
-                save[k] = v.astype(np.float16)
-            elif (v.dtype == np.float32 and v.min() >= 0.0
+                save["q16_" + k] = v.astype(np.float16)
+            elif (v.dtype == np.float32 and v.size and v.min() >= 0.0
                     and v.max() <= 1.0):
-                save[k] = np.round(v * 255.0).astype(np.uint8)
+                save["q8_" + k] = np.round(v * 255.0).astype(np.uint8)
             else:
-                save[k] = v
+                save[k] = v  # incl. natively-uint8 device_normalize data
         # np.savez appends .npz if missing, so the tmp name must end
         # with it already.
         tmp = path + ".tmp%d.npz" % threading.get_ident()

@@ -54,6 +54,23 @@ QUERY_IN_CH = 5
 OBS_IN_CH = 3
 
 
+def normalize_batch(batch):
+    """Device-side input normalization: uint8 image fields -> [0,1] f32,
+    float16 warp -> f32. Lets the host pipeline ship quantized batches
+    (datasets/nlt.py device_normalize) with the cast fused into the
+    step's XLA program."""
+    def _norm(x):
+        if not hasattr(x, "dtype"):
+            return x
+        if x.dtype == jnp.uint8:
+            return x.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+        if x.dtype == jnp.float16:
+            return x.astype(jnp.float32)
+        return x
+
+    return {k: _norm(v) for k, v in batch.items()}
+
+
 class Model(BaseModel):
     def __init__(self, config):
         self.imh = config.get_int("imh")
@@ -154,6 +171,7 @@ class Model(BaseModel):
         rgb_camspc, nn_base, nn_rgb, nn_rgb_camspc (NHWC float32); host
         metadata (id, nn_id) is carried outside the jitted path."""
         self._validate_mode(mode)
+        batch = normalize_batch(batch)
         base = batch["base"]
         cvis = batch["cvis"]
         lvis = batch["lvis"]

@@ -71,11 +71,16 @@ def restore_model(config, ckpt_dir, step=None):
 def extract_feat(model, state, dataset, n_obs_batches=1):
     """Average observation feature pyramid over training batches
     (reference: nlt_test.py:97-127)."""
+    from .models.nlt import normalize_batch
+
     feat_sums, count = None, 0
     for batch_i, batch in enumerate(dataset.iterate(seed=0)):
         if 0 <= n_obs_batches <= batch_i:
             break
-        x = jnp.asarray(batch["rgb"] - batch["base"])
+        batch = normalize_batch(
+            {k: jnp.asarray(v) for k, v in batch.items()
+             if not isinstance(v, list)})
+        x = batch["rgb"] - batch["base"]
         feats = model.extract_obs_features(state["params"]["net"], x)
         if feat_sums is None:
             feat_sums = [jnp.sum(f, axis=0, keepdims=True) for f in feats]

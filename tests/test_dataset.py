@@ -193,3 +193,34 @@ def test_disk_cache(scene_root):
     assert b1["id"] == b2["id"]
     np.testing.assert_allclose(b1["base"], b2["base"], atol=1.01 / 255)
     np.testing.assert_allclose(b1["warp"], b2["warp"], atol=1e-3)
+
+
+def test_device_normalize_uint8_pipeline(scene_root):
+    """device_normalize ships uint8 images + f16 warp; the model
+    normalizes on device and predictions match the f32 pipeline to
+    quantization error."""
+    import jax
+    from nlt_tpu.models import get_model_class
+
+    cfg32 = scene_config(scene_root)
+    cfg8 = scene_config(scene_root, device_normalize=True)
+    ds32 = get_dataset_class("nlt")(cfg32, "train")
+    ds8 = get_dataset_class("nlt")(cfg8, "train")
+    b32 = next(iter(ds32.iterate(seed=0)))
+    b8 = next(iter(ds8.iterate(seed=0)))
+    assert b8["base"].dtype == np.uint8
+    assert b8["warp"].dtype == np.float16
+    assert b32["base"].dtype == np.float32
+
+    model = get_model_class("nlt")(cfg32)
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    def run(b):
+        arrays = {k: v for k, v in b.items() if not isinstance(v, list)}
+        pred, gt, _, _ = model.apply(params, arrays, "train")
+        return np.asarray(pred)
+
+    p32 = run(b32)
+    p8 = run(b8)
+    assert b32["id"] == b8["id"]
+    np.testing.assert_allclose(p8, p32, atol=0.02)
