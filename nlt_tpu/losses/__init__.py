@@ -143,10 +143,16 @@ class LPIPS:
     model layer handles that via a stop-gradient at the call site.
     """
 
-    def __init__(self, per_ch=False, weights_npz=None, seed=0):
+    def __init__(self, per_ch=False, weights_npz=None, seed=0,
+                 max_res=None):
         self.per_ch = per_ch
         self.weights_npz = weights_npz
         self.seed = seed
+        # Optional: bilinearly downsample inputs above this resolution
+        # before the AlexNet — LPIPS is the training step's compute hog
+        # at 512^2 (RESULTS.md) and perceptual distances are
+        # scale-tolerant. None keeps full resolution (reference parity).
+        self.max_res = max_res
         if weights_npz is None:
             logger.warn(
                 "LPIPS: no weights artifact configured; using a "
@@ -165,6 +171,10 @@ class LPIPS:
         if weights is not None:
             gt = alpha_blend(gt, weights)
             pred = alpha_blend(pred, weights)
+        if self.max_res is not None and gt.shape[1] > self.max_res:
+            from ..utils.img import resize
+            gt = resize(gt, self.max_res, self.max_res)
+            pred = resize(pred, self.max_res, self.max_res)
         # The metric network is frozen: no gradients to its weights.
         params = jax.lax.stop_gradient(params)
         gt = gt * 2.0 - 1.0
@@ -203,9 +213,13 @@ def build_losses(loss_str, config=None, imh=None, imw=None):
         name, weight = parse_loss_and_weight(part.strip())
         if name == "lpips":
             weights_npz = None
+            max_res = None
             if config is not None and config.has("lpips_weights"):
                 weights_npz = config.get_or_none("lpips_weights")
-            loss = LPIPS(per_ch=False, weights_npz=weights_npz)
+            if config is not None and config.has("lpips_max_res"):
+                max_res = config.get_int("lpips_max_res")
+            loss = LPIPS(per_ch=False, weights_npz=weights_npz,
+                         max_res=max_res)
         elif name == "l1":
             loss = L1()
         elif name == "l2":

@@ -197,3 +197,17 @@ def test_barron_config_trainable_alpha():
     params = b.init_params()
     assert "latent_alpha" in params and "latent_scale" in params
     assert b.func.wavelet_scale_base == 0.5
+
+
+def test_lpips_max_res_downsamples(rng):
+    """lpips_max_res computes the distance at reduced resolution; values
+    stay in the same ballpark as full-res."""
+    lp_full = losses.LPIPS()
+    lp_half = losses.LPIPS(max_res=32)
+    params = lp_full.init_params()
+    x = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
+    y = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
+    d_full = float(lp_full(params, x, y))
+    d_half = float(lp_half(params, x, y))
+    assert d_half > 0
+    assert 0.2 < d_half / d_full < 5.0

@@ -167,3 +167,16 @@ def test_serve(trained):
     assert np.all(np.isfinite(out["pred_camspc"]))
     stats = server.benchmark(batch, n=3)
     assert stats["fps"] > 0
+
+
+def test_trainvali_barron_lpips(tmp_path, scene_root):
+    """One epoch end to end with the flagship loss spec."""
+    from nlt_tpu import trainvali
+    ini = write_ini(tmp_path, scene_root, epochs=1,
+                    loss="barron,1e+0lpips", lpips_max_res=32,
+                    xname="barronrun_{lr}")
+    outdir = trainvali.main(["--config", ini, "--debug"])
+    scalars = join(outdir, "summary_train", "scalars.jsonl")
+    recs = [json.loads(line) for line in open(scalars)]
+    losses = [r for r in recs if r["tag"] == "loss_train"]
+    assert losses and np.isfinite(losses[0]["value"])
