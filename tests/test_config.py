@@ -43,7 +43,8 @@ def test_ini_roundtrip(tmp_path):
 
 
 @pytest.mark.parametrize("ini", [
-    "dragon_specular.ini", "dragon_sss.ini", "sphere_synthetic.ini"])
+    "dragon_specular.ini", "dragon_sss.ini", "sphere_synthetic.ini",
+    "sphere_relight_identity.ini", "sphere_viewsyn.ini"])
 def test_shipped_configs_build_models(ini):
     """Every shipped config parses and constructs the full model
     (networks + losses) — catching key drift against the reference's
