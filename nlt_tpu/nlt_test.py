@@ -18,7 +18,7 @@ Re-design of the reference's test pipeline (reference: nlt/nlt_test.py):
 
 import argparse
 from glob import glob
-from os.path import basename, join
+from os.path import join
 
 import jax
 import jax.numpy as jnp

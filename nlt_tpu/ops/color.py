@@ -5,7 +5,6 @@ Barron loss imposes before its per-coefficient NLL (reference:
 third_party/robust_loss/util.py:96-161).
 """
 
-import jax.numpy as jnp
 from jax.scipy import fft as jfft
 
 from ..utils.img import rgb_to_yuv, yuv_to_rgb

@@ -22,10 +22,10 @@ Constraints: C must be Mosaic-tileable (C=5 fails to compile); H, W
 even; f32.
 
 Formulation: grid over (batch, row-blocks). Each program loads a
-(2·BH, W, C) input block into VMEM, gathers the four (di, dj) strided
-sub-grids, concatenates them into (BH·W/2, 4C) patches, runs one MXU
-matmul against the (4C, O) reshaped kernel with f32 accumulation,
-adds bias, applies LeakyReLU, and writes the (BH, W/2, O) output block.
+(2·BH, W, C) input block into VMEM, splits the four (di, dj) taps with
+4-D reshapes, sums four MXU matmuls against the kernel's (C, O) tap
+blocks with f32 accumulation, adds bias, applies LeakyReLU, and writes
+the (BH, W/2, O) output block.
 """
 
 import functools
@@ -33,7 +33,6 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(x_ref, w_ref, b_ref, o_ref, *, bh, w_out, c_in, c_out,

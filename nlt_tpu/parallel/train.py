@@ -18,7 +18,6 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from . import mesh as mesh_mod
 
 
 def make_optimizer(lr, mgm=-1.0):

@@ -9,7 +9,6 @@ import sys
 from os.path import join
 
 import numpy as np
-import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, join(REPO, "data_gen"))
