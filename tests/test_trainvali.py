@@ -180,3 +180,27 @@ def test_trainvali_barron_lpips(tmp_path, scene_root):
     recs = [json.loads(line) for line in open(scalars)]
     losses = [r for r in recs if r["tag"] == "loss_train"]
     assert losses and np.isfinite(losses[0]["value"])
+
+
+def test_serve_and_infer_with_device_normalize(trained, scene_root,
+                                               tmp_path):
+    """uint8 wire format works through training, serving, and the
+    averaged-obs inference path."""
+    from nlt_tpu import trainvali, nlt_test
+    ini = write_ini(tmp_path, scene_root, epochs=1,
+                    device_normalize=True, cache="ram",
+                    xname="u8run_{lr}")
+    outdir = trainvali.main(["--config", ini])
+    view_at = nlt_test.main([
+        "--ckpt", join(outdir, "checkpoints"), "--n_obs_batches", "1"])
+    assert os.path.exists(view_at)
+
+    from nlt_tpu.serve import Server
+    from nlt_tpu.datasets import get_dataset_class
+    server = Server(join(outdir, "checkpoints"))
+    server.precompute_obs(n_obs_batches=1)
+    ds = get_dataset_class("nlt")(server.config, "test")
+    batch = next(iter(ds.iterate(seed=0)))
+    assert batch["base"].dtype == np.uint8
+    out = server.predict(batch)
+    assert np.all(np.isfinite(out["pred_camspc"]))
