@@ -78,10 +78,28 @@ def available():
     return get_lib() is not None
 
 
+def _png_bit_depth(path):
+    """Bit depth from the IHDR chunk (byte 24 of a well-formed PNG)."""
+    try:
+        with open(path, "rb") as h:
+            header = h.read(25)
+        if len(header) == 25 and header[:8] == b"\x89PNG\r\n\x1a\n":
+            return header[24]
+    except OSError:
+        pass
+    return 8
+
+
 def load_png_f32(path, new_h=None, new_w=None):
     """Decode a PNG to float32 [0,1] HWC (HxW for grayscale), optionally
-    bilinearly resized to (new_h, new_w). Falls back to the PIL path."""
+    bilinearly resized to (new_h, new_w). Falls back to the PIL path.
+
+    16-bit PNGs (xiuminglib's write_img can produce them) go through the
+    PIL path: libpng's simplified API would silently gamma-linearize
+    them, while PIL preserves raw values (normalized by 65535)."""
     lib = get_lib()
+    if lib is not None and _png_bit_depth(path) == 16:
+        lib = None
     if lib is None:
         from .utils import img as imgutil
         from .utils import io as ioutil
