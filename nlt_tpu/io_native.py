@@ -34,14 +34,20 @@ def _build():
 
 
 def get_lib():
-    """Returns the loaded library or None if unavailable."""
+    """Returns the loaded library or None if unavailable.
+
+    NOTE: `_tried` is only set AFTER the build/load attempt completes
+    (inside the lock). Setting it before the attempt would let threads
+    arriving mid-build take the unlocked fast path and observe None —
+    silently routing them to the slow fallback (this was a real bug:
+    the dataset's field-IO threads all fire at once on the first item).
+    """
     global _lib, _tried
     if _lib is not None or _tried:
         return _lib
     with _lib_lock:
         if _lib is not None or _tried:
             return _lib
-        _tried = True
         try:
             if not os.path.exists(_SO_PATH) or (
                     os.path.getmtime(_SO_PATH) < os.path.getmtime(
@@ -71,7 +77,28 @@ def get_lib():
                 "Native IO unavailable (%s: %s); falling back to PIL",
                 type(e).__name__, e)
             _lib = None
+        finally:
+            _tried = True
     return _lib
+
+
+def _pil_load_resized(path, new_h=None, new_w=None):
+    """Pure-host fallback: PIL decode + PIL bilinear resize. MUST stay
+    jax-free — it runs inside loader threads, and a jax-based resize
+    would bounce every image through the accelerator (catastrophic over
+    a remote-device tunnel, and a thread-safety hazard)."""
+    from PIL import Image
+    img = Image.open(path)
+    if new_h is not None:
+        if new_w is None:
+            new_w = int(img.size[0] / img.size[1] * new_h)
+        img = img.resize((new_w, new_h), Image.BILINEAR)
+    arr = np.asarray(img)
+    if arr.dtype == np.uint8:
+        return arr.astype(np.float32) / 255.0
+    if arr.dtype == np.uint16:
+        return arr.astype(np.float32) / 65535.0
+    return arr.astype(np.float32)
 
 
 def available():
@@ -101,12 +128,7 @@ def load_png_f32(path, new_h=None, new_w=None):
     if lib is not None and _png_bit_depth(path) == 16:
         lib = None
     if lib is None:
-        from .utils import img as imgutil
-        from .utils import io as ioutil
-        arr = ioutil.normalize_uint(ioutil.load_img(path))
-        if new_h is not None:
-            arr = imgutil.resize(arr, new_h=new_h, new_w=new_w)
-        return np.asarray(arr, np.float32)
+        return _pil_load_resized(path, new_h=new_h, new_w=new_w)
 
     bpath = os.fsencode(path)
     w = ctypes.c_int()
@@ -139,8 +161,13 @@ def resize_bilinear_f32(img, new_h, new_w):
     if squeeze:
         img = img[:, :, None]
     if lib is None:
-        from .utils import img as imgutil
-        out = imgutil.resize(img, new_h=new_h, new_w=new_w)
+        # jax-free host fallback (see _pil_load_resized note).
+        from PIL import Image
+        chans = [
+            np.asarray(Image.fromarray(img[:, :, c]).resize(
+                (new_w, new_h), Image.BILINEAR))
+            for c in range(img.shape[2])]
+        out = np.stack(chans, axis=2).astype(np.float32)
         return out[:, :, 0] if squeeze else out
     h, w, ch = img.shape
     out = np.empty((new_h, new_w, ch), np.float32)
