@@ -31,7 +31,20 @@ DEPTH = 256
 
 
 def main():
+    import os
+
     import jax
+
+    # Persistent compile cache: the remote compile service has been
+    # observed to wedge; a warmed cache keeps the bench runnable.
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("NLT_TPU_COMPILE_CACHE",
+                           "/tmp/nlt_tpu_compile_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
 
     from __graft_entry__ import _make_batch, _make_model
     from nlt_tpu.parallel import train as train_mod
