@@ -304,7 +304,7 @@ def main(argv=None):
         # ---- validation ----
         if vali_batches and vali_period > 0 and step % vali_period == 0 \
                 and jax.process_index() == 0:
-            v_loss, v_vis = [], []
+            v_loss, v_vis, v_psnr = [], [], []
             for batch in vali_batches:
                 arrays, meta = strip_host_fields(batch)
                 arrays = mesh_mod.shard_batch(mesh, arrays, tile_spatial)
@@ -313,7 +313,20 @@ def main(argv=None):
                 to_vis = {k: np.asarray(v) for k, v in to_vis.items()}
                 to_vis.update(meta)
                 v_vis.append(to_vis)
+                # Quantitative vali PSNR per epoch (the reference only
+                # writes PSNR into per-image vis metadata; a scalar
+                # series enables early checkpoint selection).
+                if "gt_camspc" in to_vis and hasattr(model, "psnr"):
+                    for i in range(to_vis["pred_camspc"].shape[0]):
+                        v_psnr.append(model.psnr(
+                            np.clip(to_vis["gt_camspc"][i], 0, 1),
+                            np.clip(to_vis["pred_camspc"][i], 0, 1)))
             writer_vali.scalar("loss_vali", float(np.mean(v_loss)), step)
+            if v_psnr:
+                finite = [p for p in v_psnr if np.isfinite(p)]
+                if finite:
+                    writer_vali.scalar(
+                        "psnr_vali", float(np.mean(finite)), step)
             vis_dirs = []
             for batch_i, to_vis in enumerate(v_vis):
                 vis_dir = join(

@@ -72,7 +72,11 @@ def test_outdir_artifacts(trained):
     assert os.path.exists(scalars)
     tags = [json.loads(line)["tag"] for line in open(scalars)]
     assert "loss_train" in tags and "batch_time_train" in tags
-    assert os.path.exists(join(outdir, "summary_vali", "scalars.jsonl"))
+    assert "texels_per_sec" in tags
+    vali_scalars = join(outdir, "summary_vali", "scalars.jsonl")
+    assert os.path.exists(vali_scalars)
+    vtags = [json.loads(line)["tag"] for line in open(vali_scalars)]
+    assert "loss_vali" in vtags and "psnr_vali" in vtags
 
 
 def test_vis_artifacts(trained):
