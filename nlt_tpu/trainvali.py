@@ -302,13 +302,23 @@ def main(argv=None):
                 train_deque, train_vis_epoch_dir.format(e=step))
 
         # ---- validation ----
-        if vali_batches and vali_period > 0 and step % vali_period == 0 \
-                and jax.process_index() == 0:
+        if vali_batches and vali_period > 0 and step % vali_period == 0:
+            # ALL processes run the eval computation (a multi-host XLA
+            # program hangs if any participant skips it); only host 0
+            # materializes vis and writes scalars below.
+            is_host0 = jax.process_index() == 0
             v_loss, v_vis, v_psnr = [], [], []
             for batch in vali_batches:
                 arrays, meta = strip_host_fields(batch)
-                arrays = mesh_mod.shard_batch(mesh, arrays, tile_spatial)
+                if is_multiprocess:
+                    arrays = mesh_mod.make_global_batch(
+                        mesh, arrays, tile_spatial)
+                else:
+                    arrays = mesh_mod.shard_batch(
+                        mesh, arrays, tile_spatial)
                 loss, to_vis = eval_step(state, arrays)
+                if not is_host0:
+                    continue
                 v_loss.append(float(loss))
                 to_vis = {k: np.asarray(v) for k, v in to_vis.items()}
                 to_vis.update(meta)
@@ -321,6 +331,8 @@ def main(argv=None):
                         v_psnr.append(model.psnr(
                             np.clip(to_vis["gt_camspc"][i], 0, 1),
                             np.clip(to_vis["pred_camspc"][i], 0, 1)))
+            if not is_host0:
+                continue  # computation done; nothing to write here
             writer_vali.scalar("loss_vali", float(np.mean(v_loss)), step)
             if v_psnr:
                 finite = [p for p in v_psnr if np.isfinite(p)]
