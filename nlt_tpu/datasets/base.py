@@ -16,12 +16,32 @@ with a pure-Python equivalent built for TPU feeding:
   host-side string lists ('id', 'nn_id'); a background prefetch thread
   keeps `prefetch_batches` batches ready so the accelerator never waits.
 
+Collate design: shapes are static per dataset, so every batch's field
+arrays are preallocated and the worker threads write each example
+directly into its batch slot — there is no per-batch `np.stack` (a
+single-threaded, GIL-holding copy of the whole batch). With the packed
+disk cache, warm epochs are `readinto` straight from the page cache
+into the batch slot: zero decode, zero extra copy.
+
+Disk cache format ("blob", one file per example):
+
+    magic b'NLTB' | u32 version | u32 header_len | header JSON | payload
+
+header: {"fields": [{"name", "dtype", "shape", "enc", "offset",
+"nbytes"}...], "strs": {...}} with offsets relative to the payload
+start. enc: "raw" (stored dtype == delivered dtype, slot readinto),
+"q8" (uint8 -> float32/255, 1/255 quantization — sources are 8-bit
+PNGs anyway), "q16" (float16 -> float32; warp's on-disk precision).
+
 Subclass contract:
     _glob() -> list of example ids
     _load_item(id) -> dict of numpy arrays + str fields
 """
 
+import json
+import os
 import queue
+import struct
 import threading
 from concurrent.futures import ThreadPoolExecutor
 
@@ -58,10 +78,17 @@ class Dataset:
         self._cache_lock = threading.Lock()
         if cache == "disk":
             root = config.get_list("data_root")[0].rstrip("/")
-            self._disk_cache_dir = "%s_cache/%s_uv%s" % (
-                root, mode, config.get("uvh"))
-            import os
+            # The wire format (uint8 vs f32) is part of the cache
+            # identity — flipping device_normalize must not hit blobs
+            # written under the other format.
+            u8 = config.get_bool("device_normalize", False)
+            self._disk_cache_dir = "%s_cache/%s_uv%s%s" % (
+                root, mode, config.get("uvh"), "_u8" if u8 else "")
             os.makedirs(self._disk_cache_dir, exist_ok=True)
+        # Batch schema (field -> delivered dtype/shape), discovered from
+        # the first loaded example and reused to preallocate batches.
+        self._schema = None
+        self._schema_lock = threading.Lock()
         # Dedicated pool for per-field IO inside _load_item (separate
         # from the per-item pool to avoid nested-submission deadlock).
         self._io_pool = ThreadPoolExecutor(n_workers)
@@ -94,50 +121,132 @@ class Dataset:
     # (1/255 quantization — the sources are 8-bit PNGs anyway); warp
     # stays float16 (its on-disk precision).
     _DISK_U8_MAX_ERR = 1.0 / 255.0
+    _BLOB_MAGIC = b"NLTB"
+    _BLOB_VERSION = 1
 
     def _disk_cache_path(self, id_):
-        import os
         return os.path.join(
-            self._disk_cache_dir, id_.replace("/", "__") + ".npz")
+            self._disk_cache_dir, id_.replace("/", "__") + ".blob")
 
-    def _disk_cache_load(self, id_):
-        import os
-        path = self._disk_cache_path(id_)
-        if not os.path.exists(path):
-            return None
-        item = {}
-        with np.load(path, allow_pickle=False) as f:
-            for k in f.files:
-                v = f[k]
-                if k.startswith("str_"):
-                    item[k[len("str_"):]] = str(v)
-                elif k.startswith("q8_"):   # quantized from float32
-                    item[k[len("q8_"):]] = v.astype(np.float32) / 255.0
-                elif k.startswith("q16_"):
-                    item[k[len("q16_"):]] = v.astype(np.float32)
-                else:                        # stored in native dtype
-                    item[k] = v
-        return item
+    def _blob_encode_field(self, k, v):
+        """Returns (enc, stored array) per the quantization rules."""
+        if v.dtype == np.float32 and k == "warp":
+            return "q16", np.ascontiguousarray(v.astype(np.float16))
+        if (v.dtype == np.float32 and v.size and v.min() >= 0.0
+                and v.max() <= 1.0):
+            return "q8", np.round(v * 255.0).astype(np.uint8)
+        # incl. natively-uint8 device_normalize data and f16 warps
+        return "raw", np.ascontiguousarray(v)
 
     def _disk_cache_save(self, id_, item):
         path = self._disk_cache_path(id_)
-        save = {}
+        fields, payload, strs = [], [], {}
+        offset = 0
         for k, v in item.items():
             if isinstance(v, str):
-                save["str_" + k] = np.str_(v)
-            elif v.dtype == np.float32 and k == "warp":
-                save["q16_" + k] = v.astype(np.float16)
-            elif (v.dtype == np.float32 and v.size and v.min() >= 0.0
-                    and v.max() <= 1.0):
-                save["q8_" + k] = np.round(v * 255.0).astype(np.uint8)
-            else:
-                save[k] = v  # incl. natively-uint8 device_normalize data
-        # np.savez appends .npz if missing, so the tmp name must end
-        # with it already.
-        tmp = path + ".tmp%d.npz" % threading.get_ident()
-        np.savez(tmp, **save)
-        import os
+                strs[k] = v
+                continue
+            enc, stored = self._blob_encode_field(k, v)
+            fields.append({
+                "name": k, "dtype": stored.dtype.name,
+                "shape": list(v.shape), "enc": enc,
+                "offset": offset, "nbytes": stored.nbytes})
+            payload.append(stored)
+            offset += stored.nbytes
+        header = json.dumps({"fields": fields, "strs": strs}).encode()
+        tmp = "%s.tmp%d" % (path, threading.get_ident())
+        with open(tmp, "wb") as h:
+            h.write(self._BLOB_MAGIC)
+            h.write(struct.pack("<II", self._BLOB_VERSION, len(header)))
+            h.write(header)
+            for stored in payload:
+                h.write(stored)
         os.replace(tmp, path)
+
+    def _blob_header(self, h):
+        """Reads and validates the header; returns (header dict,
+        payload start) or None if the file is not a valid blob."""
+        head = h.read(12)
+        if len(head) != 12 or head[:4] != self._BLOB_MAGIC:
+            return None
+        version, header_len = struct.unpack("<II", head[4:])
+        if version != self._BLOB_VERSION:
+            return None
+        header = json.loads(h.read(header_len))
+        return header, 12 + header_len
+
+    @staticmethod
+    def _blob_decode(enc, stored, out=None):
+        """Decodes a stored field; writes into `out` when given."""
+        if enc == "q8":
+            if out is None:
+                return stored.astype(np.float32) / np.float32(255.0)
+            np.divide(stored, np.float32(255.0), out=out)
+            return out
+        if enc == "q16":
+            if out is None:
+                return stored.astype(np.float32)
+            out[...] = stored
+            return out
+        if out is None:
+            return stored
+        out[...] = stored
+        return out
+
+    def _disk_cache_load(self, id_):
+        path = self._disk_cache_path(id_)
+        try:
+            with open(path, "rb") as h:
+                parsed = self._blob_header(h)
+                if parsed is None:
+                    return None
+                header, _ = parsed
+                item = dict(header["strs"])
+                for f in header["fields"]:
+                    stored = np.empty(
+                        f["shape"], np.dtype(f["dtype"]))
+                    if h.readinto(stored) != f["nbytes"]:
+                        return None
+                    item[f["name"]] = self._blob_decode(f["enc"], stored)
+                return item
+        except OSError:
+            return None
+
+    def _blob_read_into(self, id_, arrays, strs, i):
+        """Fast warm path: stream a cached example straight into batch
+        slot `i` (page cache -> batch buffer, no intermediate example
+        dict). Returns False if the blob is missing/stale (caller falls
+        back to the full loader, which rewrites it)."""
+        path = self._disk_cache_path(id_)
+        try:
+            with open(path, "rb") as h:
+                parsed = self._blob_header(h)
+                if parsed is None:
+                    return False
+                header, payload_at = parsed
+                for f in header["fields"]:
+                    k = f["name"]
+                    out = arrays.get(k)
+                    if out is None or list(out.shape[1:]) != f["shape"]:
+                        return False  # stale schema
+                    h.seek(payload_at + f["offset"])
+                    if f["enc"] == "raw":
+                        if (np.dtype(f["dtype"]) != out.dtype
+                                or h.readinto(out[i]) != f["nbytes"]):
+                            return False
+                    else:
+                        stored = np.empty(
+                            f["shape"], np.dtype(f["dtype"]))
+                        if h.readinto(stored) != f["nbytes"]:
+                            return False
+                        self._blob_decode(f["enc"], stored, out=out[i])
+                for k, v in header["strs"].items():
+                    strs[k][i] = v
+                return True
+        except (OSError, ValueError, KeyError):
+            # Unreadable or stale blob (e.g. dtype/shape drift): fall
+            # back to the full loader, which rewrites it.
+            return False
 
     def _load_cached(self, id_):
         if self.cache_enabled == "ram":
@@ -158,7 +267,9 @@ class Dataset:
 
     @staticmethod
     def _collate(items):
-        """Stack numpy fields into batch arrays; strings become lists."""
+        """Stack numpy fields into batch arrays; strings become lists.
+        (Kept for ad-hoc use; the pipeline itself fills preallocated
+        batches in parallel — see `_fill_slot`.)"""
         batch = {}
         for k in items[0]:
             v0 = items[0][k]
@@ -167,6 +278,42 @@ class Dataset:
             else:
                 batch[k] = [it[k] for it in items]
         return batch
+
+    def _ensure_schema(self, first_id):
+        """Discovers the (dtype, shape) of every field from one example
+        (cached across epochs)."""
+        if self._schema is not None:
+            return
+        with self._schema_lock:
+            if self._schema is not None:
+                return
+            item = self._load_cached(first_id)
+            arrays, strs = {}, []
+            for k, v in item.items():
+                if isinstance(v, np.ndarray):
+                    arrays[k] = (v.dtype, tuple(v.shape))
+                else:
+                    strs.append(k)
+            self._schema = (arrays, strs)
+
+    def _alloc_batch(self, bs):
+        arrays = {k: np.empty((bs,) + shape, dt)
+                  for k, (dt, shape) in self._schema[0].items()}
+        strs = {k: [None] * bs for k in self._schema[1]}
+        return arrays, strs
+
+    def _fill_slot(self, id_, arrays, strs, i):
+        """Loads one example directly into batch slot `i` (runs on a
+        worker thread; slots are disjoint, so no locking)."""
+        if (self.cache_enabled == "disk"
+                and self._blob_read_into(id_, arrays, strs, i)):
+            return
+        item = self._load_cached(id_)
+        for k, v in item.items():
+            if isinstance(v, np.ndarray):
+                arrays[k][i] = v
+            else:
+                strs[k][i] = v
 
     def __len__(self):
         return len(self.files)
@@ -210,17 +357,21 @@ class Dataset:
 
         def producer():
             try:
+                self._ensure_schema(ids[0])
                 with ThreadPoolExecutor(self.n_workers) as pool:
                     for start in range(0, n, bs):
                         if stop.is_set():
                             return
                         chunk = ids[start:start + bs]
-                        items = list(pool.map(self._load_cached, chunk))
-                        batch = self._collate(items)
+                        arrays, strs = self._alloc_batch(len(chunk))
+                        # Workers write straight into their batch slot.
+                        list(pool.map(
+                            lambda t: self._fill_slot(
+                                t[1], arrays, strs, t[0]),
+                            enumerate(chunk)))
+                        batch = {**arrays, **strs}
                         if no_batch:
-                            batch = {
-                                k: (v[0] if isinstance(v, list) else v[0])
-                                for k, v in batch.items()}
+                            batch = {k: v[0] for k, v in batch.items()}
                         out_q.put(batch)
             except Exception as e:  # surface loader errors to the consumer
                 out_q.put(e)

@@ -1,0 +1,75 @@
+"""Time the fully-jitted training step under different loss specs.
+
+Isolates the marginal device cost of each loss term (notably LPIPS, the
+training step's compute hog at 512^2 — RESULTS.md) by timing the same
+flagship model with loss variants:
+
+    python tools/bench_step.py --res=512 --depth=256 --bs=4 \
+        --losses barron "barron,1e+0lpips"
+
+Each timing synchronizes (block_until_ready) around `--iters` steps and
+reports the median of `--reps` repetitions (the TPU tunnel in this
+container is occasionally contended; median over reps is the honest
+number).
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--res", type=int, default=512)
+    p.add_argument("--depth", type=int, default=256)
+    p.add_argument("--bs", type=int, default=4)
+    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--reps", type=int, default=5)
+    p.add_argument("--losses", type=str, nargs="+",
+                   default=["barron", "barron,1e+0lpips"])
+    p.add_argument("--lpips_max_res", type=int, default=None)
+    args = p.parse_args()
+
+    import jax
+
+    from __graft_entry__ import (_enable_compile_cache, _make_batch,
+                                 _make_model)
+    from nlt_tpu.parallel import train as train_mod
+
+    _enable_compile_cache()
+
+    batch = _make_batch(args.bs, args.res, args.res)
+    batch = {k: jax.device_put(np.asarray(v)) for k, v in batch.items()}
+
+    for loss in args.losses:
+        model = _make_model(args.res, args.res, args.depth, args.bs,
+                            loss=loss)
+        if args.lpips_max_res is not None:
+            for _, term in model.wloss:
+                if hasattr(term, "max_res"):
+                    term.max_res = args.lpips_max_res
+        tx = train_mod.make_optimizer(1e-3)
+        state = train_mod.init_state(model, tx, jax.random.PRNGKey(0))
+        step = train_mod.make_train_step(model, tx, with_vis=False)
+
+        state, l = step(state, batch)  # compile
+        jax.block_until_ready(l)
+        times = []
+        for _ in range(args.reps):
+            t0 = time.time()
+            for _ in range(args.iters):
+                state, l = step(state, batch)
+            jax.block_until_ready(l)
+            times.append((time.time() - t0) / args.iters)
+        print("loss=%-22s  median %.3f ms/step  (all: %s)"
+              % (loss, 1e3 * float(np.median(times)),
+                 " ".join("%.2f" % (1e3 * t) for t in times)))
+
+
+if __name__ == "__main__":
+    main()
