@@ -165,20 +165,43 @@ class LPIPS:
             return _lpips.load_weights(self.weights_npz)
         return _lpips.init_params(jax.random.PRNGKey(self.seed))
 
-    def __call__(self, params, gt, pred, keep_batch=False, weights=None):
-        assert gt.shape[3] == 3 and pred.shape[3] == 3, (
-            "Both ground truth and prediction must be (N, H, W, 3)")
+    def _transform(self, img, weights=None):
+        """The input transforms applied identically to gt and pred:
+        optional alpha blend, optional max_res downsample, [0,1]->[-1,1].
+        """
         if weights is not None:
-            gt = alpha_blend(gt, weights)
-            pred = alpha_blend(pred, weights)
-        if self.max_res is not None and gt.shape[1] > self.max_res:
+            img = alpha_blend(img, weights)
+        if self.max_res is not None and img.shape[1] > self.max_res:
             from ..utils.img import resize
-            gt = resize(gt, self.max_res, self.max_res)
-            pred = resize(pred, self.max_res, self.max_res)
+            img = resize(img, self.max_res, self.max_res)
+        return img * 2.0 - 1.0
+
+    def extract_feats(self, params, img, weights=None):
+        """Normalized AlexNet taps of a [0,1] NHWC image, ready to pass
+        back as `gt_feats`. The ground truth is static per example, so
+        caching these halves the AlexNet cost of every later step with
+        bit-identical loss and gradients (the gt branch carries no
+        gradient; see losses/lpips.features_normalized)."""
+        assert not self.per_ch, "gt feature caching supports per_ch=False"
+        params = jax.lax.stop_gradient(params)
+        return _lpips.features_normalized(
+            params, self._transform(img, weights))
+
+    def __call__(self, params, gt, pred, keep_batch=False, weights=None,
+                 gt_feats=None):
+        assert pred.shape[3] == 3, (
+            "Prediction must be (N, H, W, 3)")
         # The metric network is frozen: no gradients to its weights.
         params = jax.lax.stop_gradient(params)
-        gt = gt * 2.0 - 1.0
-        pred = pred * 2.0 - 1.0
+        pred = self._transform(pred, weights)
+        if gt_feats is not None:
+            assert not self.per_ch
+            pred_feats = _lpips.features_normalized(params, pred)
+            loss = _lpips.lpips_from_feats(params, gt_feats, pred_feats)
+            return loss if keep_batch else jnp.mean(loss)
+        assert gt.shape[3] == 3, (
+            "Ground truth must be (N, H, W, 3)")
+        gt = self._transform(gt, weights)
         if self.per_ch:
             loss = 0.0
             for i in range(3):

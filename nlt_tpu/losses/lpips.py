@@ -108,14 +108,29 @@ def _normalize_channels(x, eps=1e-10):
     return x / (norm + eps)
 
 
-def lpips(params, img0, img1):
-    """LPIPS distance between NHWC images in [-1, 1]. Returns (N,)."""
-    f0 = _features(params, img0)
-    f1 = _features(params, img1)
+def features_normalized(params, img):
+    """Channel-normalized AlexNet taps of an NHWC image in [-1, 1]
+    (tuple of 5 arrays). These are exactly the per-image terms LPIPS
+    compares, so for a static image they can be computed once and
+    cached (see losses.LPIPS `gt_feats` / trainvali's GT feature
+    cache) — the distance and its gradient w.r.t. the OTHER image are
+    bit-identical to the uncached path."""
+    return tuple(_normalize_channels(f) for f in _features(params, img))
+
+
+def lpips_from_feats(params, feats0, feats1):
+    """LPIPS distance between two normalized tap tuples. Returns (N,)."""
     total = 0.0
-    for a, b, lin in zip(f0, f1, params["lins"]):
-        d = (_normalize_channels(a) - _normalize_channels(b)) ** 2
+    for a, b, lin in zip(feats0, feats1, params["lins"]):
+        d = (a - b) ** 2
         # 1x1 non-negative linear head, then spatial mean.
         w = jax.nn.relu(lin["w"])
         total = total + jnp.mean(jnp.sum(d * w, axis=3), axis=(1, 2))
     return total
+
+
+def lpips(params, img0, img1):
+    """LPIPS distance between NHWC images in [-1, 1]. Returns (N,)."""
+    return lpips_from_feats(
+        params, features_normalized(params, img0),
+        features_normalized(params, img1))

@@ -54,14 +54,40 @@ class Model:
     def apply(self, params, batch, mode, **kwargs):
         raise NotImplementedError
 
-    def compute_loss(self, params, pred, gt, **kwargs):
+    def compute_loss(self, params, pred, gt, gt_feats=None, **kwargs):
         """Weighted sum of the configured losses; `params` is the full
-        model params pytree (loss latents live under params['loss'])."""
+        model params pytree (loss latents live under params['loss']).
+
+        `gt_feats`: optional {loss_index_str: cached features} for
+        feature-based losses (LPIPS) whose ground-truth branch is static
+        per example — see `extract_gt_feats`."""
         loss = 0.0
         for i, (weight, loss_fn) in enumerate(self.wloss):
             loss_params = params["loss"][str(i)]
-            loss = loss + weight * loss_fn(loss_params, gt, pred, **kwargs)
+            kw = kwargs
+            if gt_feats is not None and str(i) in gt_feats:
+                kw = dict(kwargs, gt_feats=gt_feats[str(i)])
+            loss = loss + weight * loss_fn(loss_params, gt, pred, **kw)
         return loss
+
+    def feat_loss_indices(self):
+        """Indices of loss terms whose gt branch can be precomputed and
+        cached (LPIPS with per_ch=False)."""
+        return [i for i, (_, l) in enumerate(self.wloss)
+                if hasattr(l, "extract_feats")
+                and not getattr(l, "per_ch", False)]
+
+    def extract_gt_feats(self, params, gt, **kwargs):
+        """{loss_index_str: features} of the static ground truth, for
+        reuse via compute_loss(gt_feats=...). Loss and gradients are
+        bit-identical to the uncached path (the gt branch carries no
+        gradient)."""
+        out = {}
+        for i in self.feat_loss_indices():
+            _, loss_fn = self.wloss[i]
+            out[str(i)] = loss_fn.extract_feats(
+                params["loss"][str(i)], gt, **kwargs)
+        return out
 
     def vis_batch(self, data_dict, outdir, mode, dump_raw_to=None):
         raise NotImplementedError

@@ -225,6 +225,25 @@ class Model(BaseModel):
             return pred_camspc, gt_camspc, {}, to_vis
         return pred_camspc, None, None, to_vis
 
+    def gt_camspc(self, batch):
+        """The training target, computed WITHOUT the network: gt_camspc
+        depends only on static per-example data (rgb_camspc and the
+        foreground mask warped through the fixed uv2cam field), never on
+        params. Used to precompute cacheable loss features (LPIPS gt
+        taps) cheaply (reference gt path: nlt/models/nlt.py:104-137)."""
+        batch = normalize_batch(batch)
+        warp = batch["warp"]
+        warp = jnp.stack(
+            (warp[:, :, :, 0] * self.uvw, warp[:, :, :, 1] * self.uvh),
+            axis=3)
+        n, h, w = batch["base"].shape[:3]
+        fg = jnp.ones((n, h, w, 3), jnp.float32)
+        fg = imgutil.set_left_top_corner(fg, 0.0)
+        fg_camspc = resample_mod.resample(
+            fg, warp, impl=self.resample_impl)
+        fg_camspc = imgutil.resize(fg_camspc, self.imh, self.imw)
+        return imgutil.alpha_blend(batch["rgb_camspc"], fg_camspc)
+
     def _apply_unet(self, net_params, query_x, obs_xs, obs_weights=None,
                     obs_override=None):
         """The interleaved dual U-Net (reference: nlt/models/nlt.py:141-199).

@@ -39,13 +39,20 @@ def init_state(model, tx, key):
 
 
 def make_train_step(model, tx, mesh=None, tile_spatial=False,
-                    with_vis=True):
-    """Returns train_step(state, batch) -> (state, loss, to_vis)."""
+                    with_vis=True, cached_gt_feats=False):
+    """Returns train_step(state, batch) -> (state, loss, to_vis).
 
-    def train_step(state, batch):
+    With cached_gt_feats, the signature is train_step(state, batch,
+    gt_feats): precomputed static ground-truth loss features (LPIPS
+    AlexNet taps — see models/base.extract_gt_feats) are reused instead
+    of recomputed, with bit-identical loss and gradients."""
+
+    def train_step(state, batch, gt_feats=None):
         def loss_fn(params):
             pred, gt, kwargs, to_vis = model.apply(params, batch, "train")
             kwargs["keep_batch"] = True
+            if gt_feats is not None:
+                kwargs["gt_feats"] = gt_feats
             per_example = model.compute_loss(params, pred, gt, **kwargs)
             return jnp.mean(per_example), to_vis
 
@@ -68,7 +75,24 @@ def make_train_step(model, tx, mesh=None, tile_spatial=False,
     # propagates — so one compiled step serves full batches and
     # replicated odd-sized (e.g. last vali) batches alike.
     del mesh, tile_spatial
-    return jax.jit(train_step, donate_argnums=0)
+    if cached_gt_feats:
+        return jax.jit(train_step, donate_argnums=0)
+    # Without the cache, keep the two-arg signature (one traced arity).
+    return jax.jit(lambda state, batch: train_step(state, batch),
+                   donate_argnums=0)
+
+
+def make_gt_feat_extractor(model):
+    """Jitted (params, batch) -> {loss_i: gt features}: computes the
+    static ground truth without the network (models/nlt.gt_camspc) and
+    extracts the cacheable loss features. Loss params are frozen, so one
+    extraction per example is valid for the whole run."""
+
+    def extract(params, batch):
+        gt = model.gt_camspc(batch)
+        return model.extract_gt_feats(params, gt)
+
+    return jax.jit(extract)
 
 
 def make_eval_step(model, mesh=None, tile_spatial=False):

@@ -198,6 +198,27 @@ def main(argv=None):
     eval_step = train_mod.make_eval_step(
         model, mesh=mesh, tile_spatial=tile_spatial)
 
+    # GT loss-feature cache (LPIPS): the gt branch of feature losses is
+    # static per example, so after the first epoch it is read from HBM
+    # instead of recomputed — bit-identical loss/gradients
+    # (parallel/feat_cache.py). Single-process data-parallel only.
+    feat_cache = None
+    if (config.get_bool("lpips_cache_gt", False)
+            and hasattr(model, "feat_loss_indices")
+            and model.feat_loss_indices()):
+        if is_multiprocess or tile_spatial or no_batch:
+            logger.warn(
+                "lpips_cache_gt disabled (multi-host/tile-sharded/"
+                "no_batch run)")
+        else:
+            from .parallel import feat_cache as feat_cache_mod
+            feat_cache = feat_cache_mod.GTFeatureCache(
+                dataset_train.files)
+            train_step_cached = train_mod.make_train_step(
+                model, tx, mesh=mesh, tile_spatial=tile_spatial,
+                cached_gt_feats=True)
+            extract_gt_feats = train_mod.make_gt_feat_extractor(model)
+
     # Summary writers + vis dir templates (reference: trainvali.py:144-161).
     writer_train = ScalarWriter(join(outdir, "summary_train"))
     writer_vali = ScalarWriter(join(outdir, "summary_vali"))
@@ -236,7 +257,19 @@ def main(argv=None):
                 jax.profiler.start_trace(join(outdir, "profile"))
                 profile_state["on"] = True
             t0 = time.time()
-            state, loss, to_vis = train_step(state, arrays)
+            if feat_cache is not None and feat_cache.has_all(
+                    batch["id"]):
+                gt_feats = feat_cache.gather(batch["id"])
+                state, loss, to_vis = train_step_cached(
+                    state, arrays, gt_feats)
+            else:
+                state, loss, to_vis = train_step(state, arrays)
+                if feat_cache is not None:
+                    # Loss params are frozen, so extracting with the
+                    # post-step params is exact.
+                    feat_cache.insert(
+                        batch["id"],
+                        extract_gt_feats(state["params"], arrays))
             # Don't block on the loss here: dispatch is async, so the
             # host thread goes straight back to feeding data while the
             # device crunches (the reference blocks implicitly in eager

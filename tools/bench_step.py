@@ -33,6 +33,9 @@ def main():
     p.add_argument("--losses", type=str, nargs="+",
                    default=["barron", "barron,1e+0lpips"])
     p.add_argument("--lpips_max_res", type=int, default=None)
+    p.add_argument("--cached_gt", action="store_true",
+                   help="also time the cached-gt-feats step variant "
+                        "(steady-state epochs >= 1 with lpips_cache_gt)")
     args = p.parse_args()
 
     import jax
@@ -57,18 +60,28 @@ def main():
         state = train_mod.init_state(model, tx, jax.random.PRNGKey(0))
         step = train_mod.make_train_step(model, tx, with_vis=False)
 
-        state, l = step(state, batch)  # compile
-        jax.block_until_ready(l)
-        times = []
-        for _ in range(args.reps):
-            t0 = time.time()
-            for _ in range(args.iters):
-                state, l = step(state, batch)
+        variants = [("", step, ())]
+        if args.cached_gt and model.feat_loss_indices():
+            step_cached = train_mod.make_train_step(
+                model, tx, with_vis=False, cached_gt_feats=True)
+            extract = train_mod.make_gt_feat_extractor(model)
+            gt_feats = extract(state["params"], batch)
+            jax.block_until_ready(gt_feats)
+            variants.append((" [cached gt]", step_cached, (gt_feats,)))
+
+        for tag, fn, extra in variants:
+            state, l = fn(state, batch, *extra)  # compile
             jax.block_until_ready(l)
-            times.append((time.time() - t0) / args.iters)
-        print("loss=%-22s  median %.3f ms/step  (all: %s)"
-              % (loss, 1e3 * float(np.median(times)),
-                 " ".join("%.2f" % (1e3 * t) for t in times)))
+            times = []
+            for _ in range(args.reps):
+                t0 = time.time()
+                for _ in range(args.iters):
+                    state, l = fn(state, batch, *extra)
+                jax.block_until_ready(l)
+                times.append((time.time() - t0) / args.iters)
+            print("loss=%-22s%s  median %.3f ms/step  (all: %s)"
+                  % (loss, tag, 1e3 * float(np.median(times)),
+                     " ".join("%.2f" % (1e3 * t) for t in times)))
 
 
 if __name__ == "__main__":
