@@ -57,17 +57,31 @@ def main():
     batch = _make_batch(BS, RES, RES)
     batch = {k: jax.device_put(np.asarray(v)) for k, v in batch.items()}
 
-    # Warmup / compile
-    for _ in range(3):
-        state, loss, vis = train_step(state, batch)
-    jax.block_until_ready((loss, vis))
+    # Timing method: on the axon backend jax.block_until_ready returns
+    # without waiting for remote execution, and a host fetch pays a
+    # ~25-30 ms tunnel round trip; the honest per-step time is the
+    # SLOPE between two chained-run lengths, each synchronized by
+    # fetching the loss value (see tools/bench_step.py).
+    def measure(fn, state, extra=(), n1=10, n2=30, reps=3):
+        state, loss, vis = fn(state, batch, *extra)  # compile
+        float(loss)
 
-    n_steps = 20
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
-        state, loss, vis = train_step(state, batch)
-    jax.block_until_ready((loss, vis))
-    dt_uncached = (time.perf_counter() - t0) / n_steps
+        def run(n, state):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                state, loss, _ = fn(state, batch, *extra)
+            float(loss)
+            return time.perf_counter() - t0, state
+
+        times = []
+        for _ in range(reps):
+            t_1, state = run(n1, state)
+            t_2, state = run(n2, state)
+            times.append((t_2 - t_1) / (n2 - n1))
+        times.sort()
+        return times[len(times) // 2], state
+
+    dt_uncached, state = measure(train_step, state)
 
     # Steady-state step (epochs >= 1 with lpips_cache_gt, the flagship
     # configs' default): the static ground truth's LPIPS features come
@@ -77,14 +91,8 @@ def main():
         model, tx, with_vis=True, cached_gt_feats=True)
     extract = train_mod.make_gt_feat_extractor(model)
     gt_feats = extract(state["params"], batch)
-    for _ in range(3):
-        state, loss, vis = step_cached(state, batch, gt_feats)
-    jax.block_until_ready((loss, vis))
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
-        state, loss, vis = step_cached(state, batch, gt_feats)
-    jax.block_until_ready((loss, vis))
-    dt = min((time.perf_counter() - t0) / n_steps, dt_uncached)
+    dt_cached, state = measure(step_cached, state, extra=(gt_feats,))
+    dt = min(dt_cached, dt_uncached)
 
     texels_per_sec = BS * RES * RES / dt
     print(json.dumps({

@@ -16,14 +16,32 @@ nlt/models/nlt.py:112-115). Semantics matched here:
 Gradients flow to BOTH the image (scatter-add transpose of the gather) and
 the warp field (derivative of the bilinear weights) via JAX autodiff.
 
-TPU notes (measured on v5e): the gather formulation below compiles to an
-XLA gather that runs at HBM roofline — 0.03 ms forward+backward for
-(4, 512, 512, 3), i.e. ~12 MB moved at memory bandwidth. A Pallas
-alternative was evaluated and rejected: Mosaic does not support
-per-element vector gathers from VMEM (only dynamic slices), so a kernel
-would have to emulate gather with scalar loops or one-hot matmuls, both
-orders of magnitude slower than XLA's native lowering. The XLA gather IS
-the TPU-native implementation.
+TPU implementation notes (all timings measured on v5e with chained-run
+slope timing — `block_until_ready` does not synchronize on this stack,
+see tools/bench_step.py):
+
+- The naive formulation (4 clipped corner `take`s per image under
+  `jax.vmap`) lowers to BATCHED gathers/scatters that run ~3 cycles per
+  gathered element and ~13 per scattered one: at bs 4 x 512^2 x 3
+  resampled images the training step spent ~285 ms of ~325 ms in those
+  fusions.
+- XLA's fast path is a FLAT row gather (plain `jnp.take` over a 2-D
+  table, no batch dims): ~0.3 ms per 1M 3-float rows, and its autodiff
+  transpose (flat row scatter-add) ~4 ms per 1M rows. Windowed
+  gathers/scatters (slice_sizes=(2,2,C)) are catastrophically slower
+  (~0.5-1 s) — per-index DMA lowering.
+- So the production formulation below does ONE flat `take` per call:
+  build a "window table" T[i] = the 2x2 neighborhood at flat index i
+  (4C channels, built with cheap dense shifts), flatten the batch into
+  the row index, take rows at the clamped window base, then select the
+  4 corner values and apply bilinear weights on the VPU. The take's
+  autodiff transpose is one flat row scatter-add into T-space followed
+  by the dense adjoints of the shifts.
+- A Pallas kernel was evaluated and rejected: Mosaic has no per-element
+  vector gather from VMEM, so a kernel would have to emulate gather
+  with scalar loops, per-row DMAs, or one-hot matmuls, all far slower
+  than XLA's flat-row lowering. The flat take IS the TPU-native
+  implementation.
 """
 
 import functools
@@ -33,7 +51,8 @@ import jax.numpy as jnp
 
 
 def _resample_one(img, warp):
-    """img: (H, W, C); warp: (Ho, Wo, 2) -> out (Ho, Wo, C)."""
+    """Reference formulation: img (H, W, C); warp (Ho, Wo, 2) ->
+    (Ho, Wo, C). Kept for cross-checking the production path (tests)."""
     h, w, c = img.shape
     x = warp[..., 0]
     y = warp[..., 1]
@@ -63,6 +82,65 @@ def _resample_one(img, warp):
     return out
 
 
+def _window_table(img):
+    """T[n, y, x, :] = [img[y,x], img[y,x+1], img[y+1,x], img[y+1,x+1]]
+    channel-concatenated (values at x=W-1 / y=H-1 edge slots are never
+    read: window bases are clamped to [0, W-2] x [0, H-2])."""
+    right = jnp.concatenate([img[:, :, 1:], img[:, :, -1:]], axis=2)
+    down = jnp.concatenate([img[:, 1:], img[:, -1:]], axis=1)
+    downright = jnp.concatenate([right[:, 1:], right[:, -1:]], axis=1)
+    return jnp.concatenate([img, right, down, downright], axis=3)
+
+
+def _resample_flat(img, warp):
+    """Production formulation: one flat row-take over the 2x2 window
+    table with the batch folded into the row index (see module
+    docstring). img: (N, H, W, C); warp: (N, Ho, Wo, 2)."""
+    n, h, w, c = img.shape
+    x = warp[..., 0]
+    y = warp[..., 1]
+
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    tx = x - x0f
+    ty = y - y0f
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+
+    # Window base, clamped so the 2x2 window is always in bounds. Every
+    # clipped corner coordinate then lands inside the window: for
+    # x0 in [-1, w-1], clip(x0, 0, w-1) and clip(x0+1, 0, w-1) are in
+    # {bx, bx+1}; corners further out only ever carry zero weight, so
+    # their (arbitrary in-window) value is irrelevant.
+    bx = jnp.clip(x0, 0, w - 2)
+    by = jnp.clip(y0, 0, h - 2)
+
+    table = _window_table(img).reshape(n * h * w, 4 * c)
+    base = (jnp.arange(n, dtype=jnp.int32)[:, None, None] * (h * w)
+            + by * w + bx)
+    win = jnp.take(table, base.reshape(-1), axis=0)
+    win = win.reshape(base.shape + (4, c))
+
+    def corner(cx, cy, weight):
+        xc = jnp.clip(cx, 0, w - 1)
+        yc = jnp.clip(cy, 0, h - 1)
+        sx = (xc == bx + 1)[..., None]
+        sy = (yc == by + 1)[..., None]
+        v = jnp.where(
+            sy,
+            jnp.where(sx, win[..., 3, :], win[..., 2, :]),
+            jnp.where(sx, win[..., 1, :], win[..., 0, :]))
+        inb = (cx >= 0) & (cx < w) & (cy >= 0) & (cy < h)
+        wgt = jnp.where(inb, weight, 0.0)
+        return v * wgt[..., None]
+
+    return (
+        corner(x0, y0, (1 - tx) * (1 - ty))
+        + corner(x0 + 1, y0, tx * (1 - ty))
+        + corner(x0, y0 + 1, (1 - tx) * ty)
+        + corner(x0 + 1, y0 + 1, tx * ty))
+
+
 @functools.partial(jax.jit, static_argnames=("impl",))
 def resample(img, warp, impl="xla"):
     """Batched bilinear resampling.
@@ -70,11 +148,14 @@ def resample(img, warp, impl="xla"):
     Args:
         img: (N, H, W, C) source images.
         warp: (N, Ho, Wo, 2) target-pixel source coordinates (x, y).
-        impl: 'xla' (the production gather formulation; see module
-            docstring for why no Pallas variant exists).
+        impl: 'xla' (production flat-take formulation) or 'percorner'
+            (the naive 4-corner-gather reference formulation; slow on
+            TPU, kept for cross-checks).
 
     Returns:
         (N, Ho, Wo, C) resampled images.
     """
-    assert impl == "xla", "Only the XLA gather implementation exists"
-    return jax.vmap(_resample_one)(img, warp)
+    if impl == "percorner":
+        return jax.vmap(_resample_one)(img, warp)
+    assert impl == "xla", "impl must be 'xla' or 'percorner'"
+    return _resample_flat(img, warp)

@@ -108,3 +108,39 @@ def test_batch_independence(rng):
     out0 = np.asarray(resample.resample(
         jnp.asarray(imgs[:1]), jnp.asarray(warps[:1])))
     np.testing.assert_allclose(out[0], out0[0], atol=1e-12)
+
+
+def test_flat_matches_percorner_values_and_grads(rng):
+    """The production flat-take formulation is exactly equivalent to the
+    naive per-corner-gather formulation, including out-of-range taps,
+    boundary straddles, and both gradients."""
+    import jax
+
+    n, h, w, c = 3, 9, 11, 2
+    img = jnp.asarray(rng.rand(n, h, w, c).astype(np.float32))
+    # Coordinates spanning: interior, fractional boundary straddles,
+    # fully outside (both sides), and exact integer hits.
+    warp = jnp.asarray(
+        rng.uniform(-3.0, max(h, w) + 3.0, (n, 7, 8, 2))
+        .astype(np.float32))
+    warp = warp.at[:, 0, 0].set(jnp.array([0.0, 0.0]))
+    warp = warp.at[:, 0, 1].set(jnp.array([w - 1.0, h - 1.0]))
+    warp = warp.at[:, 0, 2].set(jnp.array([-0.5, -0.5]))
+    warp = warp.at[:, 0, 3].set(jnp.array([w - 0.5, h - 0.5]))
+
+    out_flat = resample.resample(img, warp, impl="xla")
+    out_ref = resample.resample(img, warp, impl="percorner")
+    np.testing.assert_allclose(
+        np.asarray(out_flat), np.asarray(out_ref), rtol=1e-6, atol=1e-6)
+
+    g = jnp.asarray(rng.rand(*out_ref.shape).astype(np.float32))
+
+    def loss(im, wp, impl):
+        return jnp.sum(resample.resample(im, wp, impl=impl) * g)
+
+    gi_f, gw_f = jax.grad(loss, argnums=(0, 1))(img, warp, "xla")
+    gi_r, gw_r = jax.grad(loss, argnums=(0, 1))(img, warp, "percorner")
+    np.testing.assert_allclose(
+        np.asarray(gi_f), np.asarray(gi_r), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(gw_f), np.asarray(gw_r), rtol=1e-5, atol=1e-5)

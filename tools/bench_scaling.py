@@ -64,12 +64,22 @@ def run(n_dev):
         mesh, _make_batch(bs, args.res, args.res),
         tile_spatial=n_tile > 1)
     state, loss, vis = step(state, batch)
-    jax.block_until_ready((loss, vis))
-    t0 = time.perf_counter()
-    for _ in range(args.steps):
-        state, loss, vis = step(state, batch)
-    jax.block_until_ready((loss, vis))
-    dt = (time.perf_counter() - t0) / args.steps
+    float(loss)
+
+    # Chained-run slope timing (nlt_tpu/utils/timing.py): the honest
+    # method on this stack — block_until_ready does not synchronize.
+    from nlt_tpu.utils.timing import slope_time
+    box = {"state": state}
+
+    def run_n(n):
+        s = box["state"]
+        for _ in range(n):
+            s, loss, _ = step(s, batch)
+        float(loss)
+        box["state"] = s
+
+    dt = slope_time(run_n, n1=max(2, args.steps // 4),
+                    n2=max(6, args.steps), reps=3)
     texels = bs * args.res * args.res
     return texels / dt, dt
 

@@ -7,10 +7,17 @@ flagship model with loss variants:
     python tools/bench_step.py --res=512 --depth=256 --bs=4 \
         --losses barron "barron,1e+0lpips"
 
-Each timing synchronizes (block_until_ready) around `--iters` steps and
-reports the median of `--reps` repetitions (the TPU tunnel in this
-container is occasionally contended; median over reps is the honest
-number).
+Timing method (IMPORTANT): on this container's axon backend,
+`jax.block_until_ready` returns without waiting for remote execution
+(a 4096^3 matmul chain "timed" at 5000 TFLOP/s that way), and any
+host fetch pays a ~25-30 ms tunnel round trip. The honest per-step
+time is therefore the SLOPE between two chained-run lengths, each
+synchronized by fetching the final loss value:
+
+    per_step = (T(n2) - T(n1)) / (n2 - n1)
+
+which cancels both the round-trip constant and dispatch overheads.
+Median of `--reps` repetitions (the tunnel is occasionally contended).
 """
 
 import argparse
@@ -71,14 +78,21 @@ def main():
 
         for tag, fn, extra in variants:
             state, l = fn(state, batch, *extra)  # compile
-            jax.block_until_ready(l)
+            float(l)
+
+            def run(n, state):
+                t0 = time.perf_counter()
+                for _ in range(n):
+                    state, l = fn(state, batch, *extra)
+                float(l)  # host fetch: the only real synchronization
+                return time.perf_counter() - t0, state
+
+            n1, n2 = args.iters, 3 * args.iters
             times = []
             for _ in range(args.reps):
-                t0 = time.time()
-                for _ in range(args.iters):
-                    state, l = fn(state, batch, *extra)
-                jax.block_until_ready(l)
-                times.append((time.time() - t0) / args.iters)
+                t_1, state = run(n1, state)
+                t_2, state = run(n2, state)
+                times.append((t_2 - t_1) / (n2 - n1))
             print("loss=%-22s%s  median %.3f ms/step  (all: %s)"
                   % (loss, tag, 1e3 * float(np.median(times)),
                      " ".join("%.2f" % (1e3 * t) for t in times)))
