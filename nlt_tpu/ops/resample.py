@@ -92,6 +92,42 @@ def _window_table(img):
     return jnp.concatenate([img, right, down, downright], axis=3)
 
 
+@jax.custom_vjp
+def _take_rows(table, idx):
+    """jnp.take(table, idx, axis=0) with an explicit scatter-add VJP.
+
+    Semantically identical to autodiff's transpose; exists as the seam
+    where backward-scatter strategies were (and can again be) swapped
+    and measured. In-program findings at bs 4 x 512^2 (see
+    _take_rows_bwd): the flat scatter costs ~66 ms/step — ~16x its
+    standalone floor — because XLA's layout assignment pins the
+    (n_rows, w) accumulator to a column-major layout inside the full
+    program; every alternative tried (sorted segment-sum, transposed
+    table, optimization barriers) measured equal or slower in context
+    even when faster standalone."""
+    return jnp.take(table, idx, axis=0)
+
+
+def _take_rows_fwd(table, idx):
+    return jnp.take(table, idx, axis=0), (idx, table.shape[0])
+
+
+def _take_rows_bwd(res, g):
+    idx, n_rows = res
+    # Plain flat row scatter-add. Alternatives measured IN the full
+    # training program (barron step, bs 4 @ 512^2): sorted
+    # segment-sum +16 ms, transposed-table scatter +140 ms,
+    # optimization_barrier isolation +-0 — all despite being fast (or
+    # neutral) standalone. This formulation ties with autodiff's
+    # transpose; the custom VJP is kept as the seam for future
+    # backend-specific scatter work.
+    d_table = jnp.zeros((n_rows, g.shape[1]), g.dtype).at[idx].add(g)
+    return d_table, None
+
+
+_take_rows.defvjp(_take_rows_fwd, _take_rows_bwd)
+
+
 def _resample_flat(img, warp):
     """Production formulation: one flat row-take over the 2x2 window
     table with the batch folded into the row index (see module
@@ -118,7 +154,7 @@ def _resample_flat(img, warp):
     table = _window_table(img).reshape(n * h * w, 4 * c)
     base = (jnp.arange(n, dtype=jnp.int32)[:, None, None] * (h * w)
             + by * w + bx)
-    win = jnp.take(table, base.reshape(-1), axis=0)
+    win = _take_rows(table, base.reshape(-1))
     win = win.reshape(base.shape + (4, c))
 
     def corner(cx, cy, weight):
