@@ -26,6 +26,7 @@ A Layer is a pair of pure functions:
 """
 
 import collections
+import os
 
 import jax
 import jax.numpy as jnp
@@ -34,6 +35,10 @@ import numpy as np
 from ..utils.img import upsample2x
 
 Layer = collections.namedtuple("Layer", ["init", "apply", "name"])
+
+# k==s convs can run as space-to-depth + matmul or as direct XLA convs.
+# Flag for A/B timing (NLT_TPU_S2D=0 disables the matmul path).
+_S2D_FASTPATH = os.environ.get("NLT_TPU_S2D", "1") != "0"
 
 
 def _glorot_uniform(key, shape, dtype=jnp.float32):
@@ -55,7 +60,8 @@ def conv(kernel_size, n_ch_out, stride=1):
         w = params["w"].astype(x.dtype)
         b = params["b"].astype(x.dtype)
         k = kernel_size
-        if k == stride and x.shape[1] % k == 0 and x.shape[2] % k == 0:
+        if (_S2D_FASTPATH and k == stride and x.shape[1] % k == 0
+                and x.shape[2] % k == 0):
             # Space-to-depth + matmul: exact SAME conv when k == s.
             n, h, wd, c = x.shape
             patches = x.reshape(n, h // k, k, wd // k, k, c)
@@ -89,7 +95,7 @@ def deconv(kernel_size, n_ch_out, stride=1):
         w = params["w"].astype(x.dtype)
         b = params["b"].astype(x.dtype)
         k = kernel_size
-        if k == stride:
+        if _S2D_FASTPATH and k == stride:
             # Matmul + depth-to-space: each input pixel emits a k x k block.
             n, h, wd, c = x.shape
             wmat = w.transpose(2, 0, 1, 3).reshape(c, k * k * n_ch_out)
