@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from ..utils.img import alpha_blend, rgb_to_yuv
 from . import adaptive as _adaptive
+from . import elpips as _elpips
 from . import lpips as _lpips
 from . import ssim as _ssim
 from ..utils import logging as logutil
@@ -143,6 +144,11 @@ class LPIPS:
     model layer handles that via a stop-gradient at the call site.
     """
 
+    # The gt branch is static per example (models may cache its
+    # features — see extract_feats); subclasses with transform
+    # randomness override this.
+    cacheable_gt = True
+
     def __init__(self, per_ch=False, weights_npz=None, seed=0,
                  max_res=None):
         self.per_ch = per_ch
@@ -215,6 +221,48 @@ class LPIPS:
         return jnp.mean(loss)
 
 
+class ELPIPS(LPIPS):
+    """Ensemble-of-transformations LPIPS (losses/elpips.py; the
+    reference's parser accepts 'elpips' but its losses module never
+    defines the class — implemented for real here).
+
+    Stochastic: each call draws a fresh random transform per ensemble
+    sample from `key` (the training step folds the step counter into a
+    base key; evaluation passes nothing and gets a fixed seed). The gt
+    branch changes with the transform, so the static-gt feature cache
+    does not apply (cacheable_gt = False)."""
+
+    stochastic = True
+    cacheable_gt = False
+
+    def __init__(self, n_samples=1, weights_npz=None, seed=0,
+                 max_res=None):
+        super().__init__(per_ch=False, weights_npz=weights_npz,
+                         seed=seed, max_res=max_res)
+        self.n_samples = n_samples
+
+    def __call__(self, params, gt, pred, keep_batch=False, weights=None,
+                 key=None):
+        assert gt.shape[3] == 3 and pred.shape[3] == 3, (
+            "Both ground truth and prediction must be (N, H, W, 3)")
+        if weights is not None:
+            gt = alpha_blend(gt, weights)
+            pred = alpha_blend(pred, weights)
+        if key is None:
+            key = jax.random.PRNGKey(self.seed)
+        params = jax.lax.stop_gradient(params)
+        total = 0.0
+        for i in range(self.n_samples):
+            g, p = _elpips.random_transform(
+                jax.random.fold_in(key, i), gt, pred)
+            total = total + _lpips.lpips(
+                params, self._transform(p), self._transform(g))
+        loss = total / self.n_samples
+        if keep_batch:
+            return loss
+        return jnp.mean(loss)
+
+
 def parse_loss_and_weight(weight_loss_str):
     """Parse '1e+2lpips' / 'l1' / '10barron' into (name, weight)
     (reference: nlt/models/base.py:63-77): the longest prefix that parses
@@ -280,10 +328,17 @@ def build_losses(loss_str, config=None, imh=None, imw=None):
         elif name == "elpips":
             # The reference names ELPIPS but ships no implementation
             # (latent NameError; reference: nlt/models/base.py:49-51,
-            # SURVEY.md §2.1). Fail loudly and early instead.
-            raise NotImplementedError(
-                "elpips is referenced but unimplemented in the reference; "
-                "use lpips")
+            # SURVEY.md §2.1). Implemented for real here — see
+            # losses/elpips.py.
+            kw = {}
+            if config is not None:
+                if config.has("lpips_weights"):
+                    kw["weights_npz"] = config.get_or_none("lpips_weights")
+                if config.has("lpips_max_res"):
+                    kw["max_res"] = config.get_int("lpips_max_res")
+                if config.has("elpips_samples"):
+                    kw["n_samples"] = config.get_int("elpips_samples")
+            loss = ELPIPS(**kw)
         else:
             raise NotImplementedError(name)
         wloss.append((weight, loss))

@@ -54,27 +54,38 @@ class Model:
     def apply(self, params, batch, mode, **kwargs):
         raise NotImplementedError
 
-    def compute_loss(self, params, pred, gt, gt_feats=None, **kwargs):
+    def compute_loss(self, params, pred, gt, gt_feats=None,
+                     loss_key=None, **kwargs):
         """Weighted sum of the configured losses; `params` is the full
         model params pytree (loss latents live under params['loss']).
 
         `gt_feats`: optional {loss_index_str: cached features} for
         feature-based losses (LPIPS) whose ground-truth branch is static
-        per example — see `extract_gt_feats`."""
+        per example — see `extract_gt_feats`.
+        `loss_key`: PRNG key forwarded to stochastic losses (E-LPIPS);
+        the train step folds the step counter into a base key."""
         loss = 0.0
         for i, (weight, loss_fn) in enumerate(self.wloss):
             loss_params = params["loss"][str(i)]
             kw = kwargs
             if gt_feats is not None and str(i) in gt_feats:
-                kw = dict(kwargs, gt_feats=gt_feats[str(i)])
+                kw = dict(kw, gt_feats=gt_feats[str(i)])
+            if loss_key is not None and getattr(
+                    loss_fn, "stochastic", False):
+                kw = dict(kw, key=loss_key)
             loss = loss + weight * loss_fn(loss_params, gt, pred, **kw)
         return loss
 
+    def has_stochastic_loss(self):
+        return any(getattr(l, "stochastic", False)
+                   for _, l in self.wloss)
+
     def feat_loss_indices(self):
         """Indices of loss terms whose gt branch can be precomputed and
-        cached (LPIPS with per_ch=False)."""
+        cached (LPIPS with per_ch=False; not stochastic variants)."""
         return [i for i, (_, l) in enumerate(self.wloss)
                 if hasattr(l, "extract_feats")
+                and getattr(l, "cacheable_gt", False)
                 and not getattr(l, "per_ch", False)]
 
     def extract_gt_feats(self, params, gt, **kwargs):

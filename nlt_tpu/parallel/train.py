@@ -47,12 +47,20 @@ def make_train_step(model, tx, mesh=None, tile_spatial=False,
     AlexNet taps — see models/base.extract_gt_feats) are reused instead
     of recomputed, with bit-identical loss and gradients."""
 
+    stochastic = (hasattr(model, "has_stochastic_loss")
+                  and model.has_stochastic_loss())
+
     def train_step(state, batch, gt_feats=None):
         def loss_fn(params):
             pred, gt, kwargs, to_vis = model.apply(params, batch, "train")
             kwargs["keep_batch"] = True
             if gt_feats is not None:
                 kwargs["gt_feats"] = gt_feats
+            if stochastic:
+                # Fresh ensemble sample per step (E-LPIPS); identical
+                # across replicas since step is replicated.
+                kwargs["loss_key"] = jax.random.fold_in(
+                    jax.random.PRNGKey(17), state["step"])
             per_example = model.compute_loss(params, pred, gt, **kwargs)
             return jnp.mean(per_example), to_vis
 

@@ -26,8 +26,12 @@ def test_build_losses_spec():
     assert len(wloss) == 2
     assert wloss[0][0] == 1.0 and isinstance(wloss[0][1], losses.L1)
     assert wloss[1][0] == 2.0 and isinstance(wloss[1][1], losses.L2)
+    # elpips parses to a real implementation (the reference names it
+    # but never ships the class; see losses/elpips.py)
+    wloss_e = losses.build_losses("elpips")
+    assert isinstance(wloss_e[0][1], losses.ELPIPS)
     with pytest.raises(NotImplementedError):
-        losses.build_losses("elpips")
+        losses.build_losses("nosuchloss")
 
 
 def test_l1_l2_numerics(rng):
