@@ -49,6 +49,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from . import scatter_pallas
+
 
 def _resample_one(img, warp):
     """Reference formulation: img (H, W, C); warp (Ho, Wo, 2) ->
@@ -92,36 +94,43 @@ def _window_table(img):
     return jnp.concatenate([img, right, down, downright], axis=3)
 
 
-@jax.custom_vjp
-def _take_rows(table, idx):
-    """jnp.take(table, idx, axis=0) with an explicit scatter-add VJP.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _take_rows(table, idx, n_groups=1):
+    """jnp.take(table, idx, axis=0) with a backend-tuned scatter VJP.
 
-    Semantically identical to autodiff's transpose; exists as the seam
-    where backward-scatter strategies were (and can again be) swapped
-    and measured. In-program findings at bs 4 x 512^2 (see
-    _take_rows_bwd): the flat scatter costs ~66 ms/step — ~16x its
-    standalone floor — because XLA's layout assignment pins the
-    (n_rows, w) accumulator to a column-major layout inside the full
-    program; every alternative tried (sorted segment-sum, transposed
-    table, optimization barriers) measured equal or slower in context
-    even when faster standalone."""
+    In-program findings at bs 4 x 512^2: XLA's scatter transpose costs
+    ~66 ms/step — ~16x its standalone floor — because layout
+    assignment pins the (n_rows, w) accumulator column-major inside the
+    full program; sorted segment-sum (+16 ms), transposed-table
+    scatter (+140 ms), and optimization barriers (+-0) all failed to
+    beat it. The Pallas VMEM-table kernel (ops/scatter_pallas.py) runs
+    the same scatter in ~21 ms and is immune to XLA's layout choices;
+    it is used on TPU for large row counts, with the plain XLA scatter
+    as the fallback elsewhere.
+
+    `n_groups`: batch contiguity hint forwarded to the kernel (updates
+    of group g target only group g's slice of the table)."""
     return jnp.take(table, idx, axis=0)
 
 
-def _take_rows_fwd(table, idx):
+def _take_rows_fwd(table, idx, n_groups=1):
     return jnp.take(table, idx, axis=0), (idx, table.shape[0])
 
 
-def _take_rows_bwd(res, g):
+def _take_rows_bwd(n_groups, res, g):
     idx, n_rows = res
-    # Plain flat row scatter-add. Alternatives measured IN the full
-    # training program (barron step, bs 4 @ 512^2): sorted
-    # segment-sum +16 ms, transposed-table scatter +140 ms,
-    # optimization_barrier isolation +-0 — all despite being fast (or
-    # neutral) standalone. This formulation ties with autodiff's
-    # transpose; the custom VJP is kept as the seam for future
-    # backend-specific scatter work.
-    d_table = jnp.zeros((n_rows, g.shape[1]), g.dtype).at[idx].add(g)
+    use_pallas = (
+        jax.default_backend() == "tpu"
+        and g.dtype == jnp.float32
+        and g.shape[0] >= 65536
+        and g.shape[1] <= 128
+        and n_rows % n_groups == 0
+        and g.shape[0] % n_groups == 0)
+    if use_pallas:
+        d_table = scatter_pallas.scatter_add_rows(
+            idx, g, n_rows, n_groups)
+    else:
+        d_table = jnp.zeros((n_rows, g.shape[1]), g.dtype).at[idx].add(g)
     return d_table, None
 
 
@@ -154,7 +163,7 @@ def _resample_flat(img, warp):
     table = _window_table(img).reshape(n * h * w, 4 * c)
     base = (jnp.arange(n, dtype=jnp.int32)[:, None, None] * (h * w)
             + by * w + bx)
-    win = _take_rows(table, base.reshape(-1))
+    win = _take_rows(table, base.reshape(-1), n)
     win = win.reshape(base.shape + (4, c))
 
     def corner(cx, cy, weight):

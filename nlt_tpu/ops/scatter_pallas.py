@@ -1,0 +1,175 @@
+"""Pallas TPU kernel: flat row scatter-add for the resampler backward.
+
+XLA's scatter for the resampler's VJP (1M rows of 12 floats into a
+(n_rows, 12) table) runs at ~66 ms inside the training program — its
+layout assignment pins the accumulator column-major and the per-row
+cost balloons ~16x over the standalone floor (ops/resample.py). This
+kernel does the same scatter-add with the accumulator table resident in
+VMEM and a scalar loop over updates, immune to XLA's layout choices.
+
+Design findings (all measured with chained timing; un-chained
+"slope" timings of independent kernel calls overlap on this device and
+under-read):
+
+- dynamic *sublane* (row) indexing in VMEM runs ~10 ns/update; dynamic
+  *lane* indexing must be 128-aligned, and packing 4 rows into a
+  128-lane row with static 32-lane slot offsets costs 6x (cross-lane
+  relayout per access) — so the table stays one row per sublane row;
+- a VMEM tensor with last dim W < 128 is lane-padded to 128, so a
+  262144-row f32 table costs 128 MB — over the ~128 MB budget. The
+  table lives in a SCRATCH buffer (single-buffered, unlike output
+  windows which Mosaic double-buffers) of PIECE=131072 rows (64 MB),
+  i.e. 2 pieces per 512^2 image;
+- per-iteration guards are expensive on the scalar core: @pl.when
+  masking costs ~17 ns even when skipping, clip+where ~14 ns. Instead
+  the caller pre-routes every update's row for each piece on the VPU:
+  in-piece rows map to their local row, misses map to a DUMP ROW past
+  the piece (garbage accumulates there and is discarded), so the
+  kernel's inner loop is one unconditional read-add-write;
+- update indices are image-contiguous (the batch is folded into the
+  row index), so the grid is (group, piece, chunk) and each kernel
+  invocation only scans its own group's updates;
+- scalar indices stream through SMEM in chunks (SMEM is 1 MB total);
+  the accumulated piece is DMA'd to the HBM output after its last
+  chunk.
+
+API: scatter_add_rows(idx, upd, n_rows, n_groups) ==
+     zeros((n_rows, W)).at[idx].add(upd) up to accumulation order
+     (f32; tests assert allclose at 1e-6 and exactness on disjoint
+     rows).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Rows per scratch-resident table piece (f32, lane-padded x128 ->
+# 64 MB scratch; +1 sublane row of dump space).
+_PIECE = 131072
+# Updates per chunk: idx chunk 32 KB SMEM, upd window ~4.2 MB VMEM
+# (double-buffered by Mosaic).
+_CHUNK = 8192
+_VMEM_LIMIT = 110 * 1024 * 1024
+
+
+def _kernel(idx_ref, upd_ref, out_ref, table, sem, *, piece, chunk,
+            chunks_per_group, w):
+    n = pl.program_id(0)
+    h = pl.program_id(1)
+    c = pl.program_id(2)
+
+    @pl.when(c == 0)
+    def _():
+        table[:] = jnp.zeros_like(table)
+
+    def body(i, _):
+        r = idx_ref[i]  # pre-routed: local row, or the dump row
+        table[pl.ds(r, 1), 0:w] = (
+            table[pl.ds(r, 1), 0:w] + upd_ref[0, pl.ds(i, 1), :])
+        return 0
+
+    jax.lax.fori_loop(0, chunk, body, 0)
+
+    @pl.when(c == chunks_per_group - 1)
+    def _():
+        # DMA the WHOLE table (dump rows included): a row-sliced view
+        # of the lane-padded scratch is not DMA-able (Mosaic requires
+        # lane-aligned slice shapes); the caller strips the dump rows
+        # with a cheap dense slice.
+        piece_i = n * pl.num_programs(1) + h
+        dma = pltpu.make_async_copy(
+            table,
+            out_ref.at[piece_i],  # whole (rows_out, w) plane: DMA-able
+            sem)
+        dma.start()
+        dma.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows", "n_groups"))
+def scatter_add_rows(idx, upd, n_rows, n_groups=1):
+    """zeros((n_rows, W)).at[idx].add(upd) via the VMEM kernel.
+
+    Args:
+        idx: (R,) int32 target rows.
+        upd: (R, W) float32 updates.
+        n_rows: output table rows.
+        n_groups: contiguity groups (e.g. batch size): updates in the
+            g-th R/n_groups-slice of idx/upd must target rows in the
+            g-th n_rows/n_groups-slice of the table. Pass 1 if unknown
+            (correct for any idx, but scans all updates per piece).
+    """
+    r_total, w = upd.shape
+    assert idx.shape == (r_total,)
+    assert n_rows % n_groups == 0 and r_total % n_groups == 0
+    group_rows = n_rows // n_groups
+    r_group = r_total // n_groups
+
+    pieces_per_group = -(-group_rows // _PIECE)
+    piece = min(_PIECE, -(-group_rows // pieces_per_group))
+    piece = -(-piece // 8) * 8  # sublane-aligned
+    rows_out = piece + 8  # each piece is written with its dump rows
+    rows_pad = n_groups * pieces_per_group * rows_out
+    chunks_per_group = -(-r_group // _CHUNK)
+    r_pad_group = chunks_per_group * _CHUNK
+
+    idx = idx.reshape(n_groups, r_group)
+    upd = upd.reshape(n_groups, r_group, w)
+    if r_pad_group != r_group:
+        pad = r_pad_group - r_group
+        # Padding rows route to the dump row in every piece.
+        idx = jnp.concatenate(
+            [idx, jnp.full((n_groups, pad), -1, jnp.int32)], axis=1)
+        upd = jnp.concatenate(
+            [upd, jnp.zeros((n_groups, pad, w), upd.dtype)], axis=1)
+
+    # Pre-route rows per piece on the VPU: local row when the update
+    # hits the piece, else the dump row (index `piece`). Shape
+    # (n_groups, pieces_per_group, r_pad_group).
+    local = idx - (jnp.arange(n_groups, dtype=jnp.int32)[:, None]
+                   * group_rows)
+    piece_ids = jnp.arange(pieces_per_group, dtype=jnp.int32)
+    rel = local[:, None, :] - piece_ids[None, :, None] * piece
+    hit = jnp.logical_and(rel >= 0, rel < piece)
+    routed = jnp.where(hit, rel, piece).astype(jnp.int32).reshape(-1)
+
+    kernel = functools.partial(
+        _kernel, piece=piece, chunk=_CHUNK,
+        chunks_per_group=chunks_per_group, w=w)
+    n_pieces_total = n_groups * pieces_per_group
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_groups, pieces_per_group, chunks_per_group),
+        # Lane dim padded to 128: HBM DMA destinations must be
+        # tile-aligned; the caller slices back to w.
+        out_shape=jax.ShapeDtypeStruct(
+            (n_pieces_total, rows_out, 128), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(
+                (_CHUNK,),
+                lambda n, h, c, P=pieces_per_group,
+                C=chunks_per_group: ((n * P + h) * C + c,),
+                memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, _CHUNK, w),
+                lambda n, h, c: (n, c, 0),
+                memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((piece + 8, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        # Off-TPU (tests, debugging): run the kernel in the Pallas
+        # interpreter — same semantics, no Mosaic.
+        interpret=jax.default_backend() != "tpu",
+    )(routed, upd)
+
+    # Strip lane padding, dump rows, and piece overhang.
+    out = out[:, :, :w].reshape(n_groups, pieces_per_group, rows_out, w)
+    out = out[:, :, :piece].reshape(n_groups, pieces_per_group * piece, w)
+    return out[:, :group_rows].reshape(n_rows, w)
