@@ -63,15 +63,16 @@ def conv(kernel_size, n_ch_out, stride=1):
         if (_S2D_FASTPATH and k == stride and x.shape[1] % k == 0
                 and x.shape[2] % k == 0):
             # Space-to-depth + matmul: exact SAME conv when k == s.
+            # The contraction runs on the 6-D view directly — no
+            # materialized transpose; XLA folds the (k, q, c) layout
+            # into the matmul.
             n, h, wd, c = x.shape
             patches = x.reshape(n, h // k, k, wd // k, k, c)
-            patches = patches.transpose(0, 1, 3, 2, 4, 5).reshape(
-                n, h // k, wd // k, k * k * c)
-            wmat = w.reshape(k * k * c, n_ch_out)
             # Accumulate in f32 on the MXU regardless of activation
             # dtype (bf16 accumulation falls off the fast path).
             y = jnp.einsum(
-                "nhwi,io->nhwo", patches, wmat,
+                "nhkwqc,kqco->nhwo", patches,
+                w.reshape(k, k, c, n_ch_out),
                 preferred_element_type=jnp.float32).astype(x.dtype)
         else:
             y = jax.lax.conv_general_dilated(
@@ -96,15 +97,15 @@ def deconv(kernel_size, n_ch_out, stride=1):
         b = params["b"].astype(x.dtype)
         k = kernel_size
         if _S2D_FASTPATH and k == stride:
-            # Matmul + depth-to-space: each input pixel emits a k x k block.
+            # Matmul + depth-to-space: each input pixel emits a k x k
+            # block. The einsum emits (n, h, k, w, q, o) directly so the
+            # depth-to-space is a pure reshape, no transpose copy.
             n, h, wd, c = x.shape
-            wmat = w.transpose(2, 0, 1, 3).reshape(c, k * k * n_ch_out)
             y = jnp.einsum(
-                "nhwc,co->nhwo", x, wmat,
+                "nhwc,ckqo->nhkwqo", x,
+                w.transpose(2, 0, 1, 3),
                 preferred_element_type=jnp.float32).astype(x.dtype)
-            y = y.reshape(n, h, wd, k, k, n_ch_out)
-            y = y.transpose(0, 1, 3, 2, 4, 5).reshape(
-                n, h * k, wd * k, n_ch_out)
+            y = y.reshape(n, h * k, wd * k, n_ch_out)
         else:
             # TF Conv2DTranspose is the gradient of a forward conv, which
             # equals lax.conv_transpose with the kernel spatially flipped.
