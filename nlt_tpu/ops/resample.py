@@ -37,11 +37,13 @@ see tools/bench_step.py):
   4 corner values and apply bilinear weights on the VPU. The take's
   autodiff transpose is one flat row scatter-add into T-space followed
   by the dense adjoints of the shifts.
-- A Pallas kernel was evaluated and rejected: Mosaic has no per-element
-  vector gather from VMEM, so a kernel would have to emulate gather
-  with scalar loops, per-row DMAs, or one-hot matmuls, all far slower
-  than XLA's flat-row lowering. The flat take IS the TPU-native
-  implementation.
+- The take's scatter transpose is where XLA falls over in-program
+  (layout-pinned accumulator, ~66 ms): the backward instead runs a
+  custom Pallas VMEM-table scatter kernel (ops/scatter_pallas.py,
+  ~21 ms, with a custom_partitioning rule for batch-sharded meshes).
+  A Pallas FORWARD gather was evaluated and rejected: the scalar-loop
+  read (~10 ns/row, 2 table passes) cannot beat XLA's flat-row gather
+  (~6.5 ns/row, one pass).
 """
 
 import functools
@@ -121,6 +123,9 @@ def _take_rows_bwd(n_groups, res, g):
     idx, n_rows = res
     use_pallas = (
         jax.default_backend() == "tpu"
+        # Multi-device: the kernel carries a custom_partitioning rule
+        # (batch-sharded inputs run per shard; odd shardings degrade
+        # to a replicated call — correct, just slower).
         and g.dtype == jnp.float32
         and g.shape[0] >= 65536
         and g.shape[1] <= 128

@@ -88,8 +88,7 @@ def _kernel(idx_ref, upd_ref, out_ref, table, sem, *, piece, chunk,
         dma.wait()
 
 
-@functools.partial(jax.jit, static_argnames=("n_rows", "n_groups"))
-def scatter_add_rows(idx, upd, n_rows, n_groups=1):
+def _scatter_local(idx, upd, n_rows, n_groups=1):
     """zeros((n_rows, W)).at[idx].add(upd) via the VMEM kernel.
 
     Args:
@@ -127,9 +126,11 @@ def scatter_add_rows(idx, upd, n_rows, n_groups=1):
 
     # Pre-route rows per piece on the VPU: local row when the update
     # hits the piece, else the dump row (index `piece`). Shape
-    # (n_groups, pieces_per_group, r_pad_group).
-    local = idx - (jnp.arange(n_groups, dtype=jnp.int32)[:, None]
-                   * group_rows)
+    # (n_groups, pieces_per_group, r_pad_group). Group-local rows come
+    # from a modulo, which is SHARD-INVARIANT: a device holding groups
+    # [k, k+m) of a batch-sharded call computes the same local rows as
+    # the global program would (enables custom_partitioning).
+    local = jnp.where(idx >= 0, idx % group_rows, -1)
     piece_ids = jnp.arange(pieces_per_group, dtype=jnp.int32)
     rel = local[:, None, :] - piece_ids[None, :, None] * piece
     hit = jnp.logical_and(rel >= 0, rel < piece)
@@ -173,3 +174,108 @@ def scatter_add_rows(idx, upd, n_rows, n_groups=1):
     out = out[:, :, :w].reshape(n_groups, pieces_per_group, rows_out, w)
     out = out[:, :, :piece].reshape(n_groups, pieces_per_group * piece, w)
     return out[:, :group_rows].reshape(n_rows, w)
+
+
+# ---- multi-device partitioning ------------------------------------
+#
+# The scatter is independent per contiguity group, and group-local rows
+# are computed with a shard-invariant modulo, so a batch-sharded call
+# partitions trivially: each device runs the kernel on its local
+# groups. To express this under Shardy, the partitioned callable takes
+# GROUPED shapes — (G, Rg) indices, (G, Rg, W) updates -> (G, rows_g,
+# W) table — so the group dim is a shared factor the sharding rule can
+# propagate ("g r, g r w -> g m w").
+
+from jax.experimental.custom_partitioning import (  # noqa: E402
+    custom_partitioning)
+from jax.sharding import NamedSharding  # noqa: E402
+from jax.sharding import PartitionSpec as P  # noqa: E402
+
+
+def _axis_size(mesh, axis):
+    if axis is None:
+        return 1
+    names = axis if isinstance(axis, tuple) else (axis,)
+    size = 1
+    for n in names:
+        size *= mesh.shape[n]
+    return size
+
+
+def _dim0_axis(sharding):
+    spec = getattr(sharding, "spec", None)
+    if not spec or len(spec) == 0:
+        return None
+    return spec[0]
+
+
+def _partition(mesh, arg_shapes, result_shape):
+    n_groups = arg_shapes[0].shape[0]
+    rows_g = result_shape.shape[1]
+    axis = _dim0_axis(arg_shapes[1].sharding)
+    if axis is None:
+        axis = _dim0_axis(arg_shapes[0].sharding)
+    shards = _axis_size(mesh, axis)
+    if axis is None or n_groups % shards != 0 or shards <= 1:
+        arg_shardings = (NamedSharding(mesh, P(None, None)),
+                         NamedSharding(mesh, P(None, None, None)))
+        result_sharding = NamedSharding(mesh, P(None, None, None))
+        shards = 1
+    else:
+        arg_shardings = (NamedSharding(mesh, P(axis, None)),
+                         NamedSharding(mesh, P(axis, None, None)))
+        result_sharding = NamedSharding(mesh, P(axis, None, None))
+    def lower_fn(idx2, upd3):
+        g = idx2.shape[0]
+        w = upd3.shape[2]
+        flat = _scatter_local(
+            idx2.reshape(-1), upd3.reshape(-1, w), g * rows_g, g)
+        return flat.reshape(g, rows_g, w)
+
+    return mesh, lower_fn, result_sharding, arg_shardings
+
+
+def _infer_sharding(mesh, arg_shapes, result_shape):
+    axis = _dim0_axis(arg_shapes[1].sharding)
+    if axis is None:
+        axis = _dim0_axis(arg_shapes[0].sharding)
+    n_groups = arg_shapes[0].shape[0]
+    if axis is None or n_groups % _axis_size(mesh, axis) != 0:
+        return NamedSharding(mesh, P(None, None, None))
+    return NamedSharding(mesh, P(axis, None, None))
+
+
+@functools.lru_cache(maxsize=None)
+def _get_scatter_cp(rows_g):
+    """A custom_partitioning instance specialized for rows-per-group
+    (baked into the closure so trace caches can never mix two
+    different output row counts for identical input shapes)."""
+
+    @custom_partitioning
+    def _scatter_cp(idx2, upd3):
+        g = idx2.shape[0]
+        w = upd3.shape[2]
+        flat = _scatter_local(idx2.reshape(-1), upd3.reshape(-1, w),
+                              g * rows_g, g)
+        return flat.reshape(g, rows_g, w)
+
+    _scatter_cp.def_partition(
+        partition=_partition,
+        infer_sharding_from_operands=_infer_sharding,
+        sharding_rule="g r, g r w -> g m w")
+    return _scatter_cp
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows", "n_groups"))
+def scatter_add_rows(idx, upd, n_rows, n_groups=1):
+    """Public entry: partition-aware scatter-add (see _scatter_local
+    for semantics). Batch-sharded inputs (dim 0 = groups) run the
+    kernel independently per shard; unsharded/odd shardings fall back
+    to a replicated single call."""
+    r_total, w = upd.shape
+    assert n_rows % n_groups == 0 and r_total % n_groups == 0
+    rows_g = n_rows // n_groups
+    out3 = _get_scatter_cp(rows_g)(
+        idx.reshape(n_groups, r_total // n_groups),
+        upd.reshape(n_groups, r_total // n_groups, w))
+    return out3.reshape(n_rows, w)
