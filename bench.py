@@ -83,15 +83,16 @@ def main():
 
     dt_uncached, state = measure(train_step, state)
 
-    # Steady-state step (epochs >= 1 with lpips_cache_gt, the flagship
-    # configs' default): the static ground truth's LPIPS features come
-    # from the HBM cache instead of being recomputed — bit-identical
+    # Steady-state step (epochs >= 1 with cache_static, the flagship
+    # configs' default): the static ground truth's LPIPS features and
+    # the params-independent warp products (gt/base camspc) come from
+    # the HBM cache instead of being recomputed — identical
     # loss/gradients (parallel/feat_cache.py).
     step_cached = train_mod.make_train_step(
-        model, tx, with_vis=True, cached_gt_feats=True)
-    extract = train_mod.make_gt_feat_extractor(model)
-    gt_feats = extract(state["params"], batch)
-    dt_cached, state = measure(step_cached, state, extra=(gt_feats,))
+        model, tx, with_vis=True, cached_statics=True)
+    extract = train_mod.make_static_extractor(model)
+    statics = extract(state["params"], batch)
+    dt_cached, state = measure(step_cached, state, extra=(statics,))
     dt = min(dt_cached, dt_uncached)
 
     texels_per_sec = BS * RES * RES / dt

@@ -88,6 +88,12 @@ class Model:
                 and getattr(l, "cacheable_gt", False)
                 and not getattr(l, "per_ch", False)]
 
+    def static_products(self, batch):
+        """Params-independent per-example intermediates of apply() that
+        the driver may precompute once and cache in HBM (fed back via
+        apply(statics=...)). Default: none."""
+        return {}
+
     def extract_gt_feats(self, params, gt, **kwargs):
         """{loss_index_str: features} of the static ground truth, for
         reuse via compute_loss(gt_feats=...). Loss and gradients are

@@ -166,10 +166,16 @@ class Model(BaseModel):
 
     # ---- forward ----
 
-    def apply(self, params, batch, mode, obs_override=None):
+    def apply(self, params, batch, mode, obs_override=None, statics=None):
         """batch: dict with array fields base, cvis, lvis, warp, rgb,
         rgb_camspc, nn_base, nn_rgb, nn_rgb_camspc (NHWC float32); host
-        metadata (id, nn_id) is carried outside the jitted path."""
+        metadata (id, nn_id) is carried outside the jitted path.
+
+        statics: optional cached `static_products(batch)` output (the
+        warp products gt_camspc/base_camspc, which depend only on static
+        per-example data). When given, the fg and base resamples are
+        skipped — only the prediction is warped — with identical outputs
+        (parallel/feat_cache.py). Train/vali modes only."""
         self._validate_mode(mode)
         batch = normalize_batch(batch)
         base = batch["base"]
@@ -196,10 +202,27 @@ class Model(BaseModel):
             (warp[:, :, :, 0] * self.uvw, warp[:, :, :, 1] * self.uvh),
             axis=3)
 
-        fg = jnp.ones(pred.shape, pred.dtype)
+        pred_c = imgutil.set_left_top_corner(pred, 0.0)
+        pred_camspc = resample_mod.resample(
+            pred_c, warp, impl=self.resample_impl)
+        pred_camspc = imgutil.resize(pred_camspc, self.imh, self.imw)
+
+        if statics is not None:
+            assert mode in ("train", "vali"), \
+                "statics caching is a train/vali-path optimization"
+            to_vis = {
+                "base_camspc": statics["base_camspc"],
+                "pred": pred,
+                "pred_camspc": pred_camspc,
+                "nn_camspc": batch["nn_rgb_camspc"],
+                "gt": batch["rgb"],
+                "gt_camspc": statics["gt_camspc"],
+            }
+            return pred_camspc, statics["gt_camspc"], {}, to_vis
+
+        fg = jnp.ones(pred.shape, jnp.float32)
         fg = imgutil.set_left_top_corner(fg, 0.0)
         base_c = imgutil.set_left_top_corner(base, 0.0)
-        pred_c = imgutil.set_left_top_corner(pred, 0.0)
 
         # Three separate resamples, NOT one packed 9-channel call: the
         # packed variant was measured 2.2x SLOWER in the full training
@@ -209,12 +232,9 @@ class Model(BaseModel):
             fg, warp, impl=self.resample_impl)
         base_camspc = resample_mod.resample(
             base_c, warp, impl=self.resample_impl)
-        pred_camspc = resample_mod.resample(
-            pred_c, warp, impl=self.resample_impl)
 
         fg_camspc = imgutil.resize(fg_camspc, self.imh, self.imw)
         base_camspc = imgutil.resize(base_camspc, self.imh, self.imw)
-        pred_camspc = imgutil.resize(pred_camspc, self.imh, self.imw)
 
         to_vis = {
             "base_camspc": base_camspc,
@@ -229,12 +249,15 @@ class Model(BaseModel):
             return pred_camspc, gt_camspc, {}, to_vis
         return pred_camspc, None, None, to_vis
 
-    def gt_camspc(self, batch):
-        """The training target, computed WITHOUT the network: gt_camspc
-        depends only on static per-example data (rgb_camspc and the
-        foreground mask warped through the fixed uv2cam field), never on
-        params. Used to precompute cacheable loss features (LPIPS gt
-        taps) cheaply (reference gt path: nlt/models/nlt.py:104-137)."""
+    def static_products(self, batch):
+        """Everything in apply() that depends only on static per-example
+        data (never on params): the training target gt_camspc
+        (rgb_camspc alpha-blended with the foreground mask warped
+        through the fixed uv2cam field) and the warped diffuse base
+        base_camspc. Computed once per example and cached in HBM by the
+        driver (parallel/feat_cache.py), removing two of the three
+        per-step resamples (reference recomputes all three every step:
+        nlt/models/nlt.py:104-137)."""
         batch = normalize_batch(batch)
         warp = batch["warp"]
         warp = jnp.stack(
@@ -243,10 +266,23 @@ class Model(BaseModel):
         n, h, w = batch["base"].shape[:3]
         fg = jnp.ones((n, h, w, 3), jnp.float32)
         fg = imgutil.set_left_top_corner(fg, 0.0)
+        base_c = imgutil.set_left_top_corner(batch["base"], 0.0)
         fg_camspc = resample_mod.resample(
             fg, warp, impl=self.resample_impl)
+        base_camspc = resample_mod.resample(
+            base_c, warp, impl=self.resample_impl)
         fg_camspc = imgutil.resize(fg_camspc, self.imh, self.imw)
-        return imgutil.alpha_blend(batch["rgb_camspc"], fg_camspc)
+        base_camspc = imgutil.resize(base_camspc, self.imh, self.imw)
+        return {
+            "gt_camspc": imgutil.alpha_blend(
+                batch["rgb_camspc"], fg_camspc),
+            "base_camspc": base_camspc,
+        }
+
+    def gt_camspc(self, batch):
+        """The training target, computed WITHOUT the network (see
+        static_products)."""
+        return self.static_products(batch)["gt_camspc"]
 
     def _apply_unet(self, net_params, query_x, obs_xs, obs_weights=None,
                     obs_override=None):
@@ -273,11 +309,17 @@ class Model(BaseModel):
                     obs.stages[obs_i].apply(o_params[obs_i], t)
                     for t in obs_xs]
                 # Mean-aggregate observation features
-                # (reference: nlt/models/nlt.py:161-164).
-                obs_agg = jnp.stack(obs_ys, axis=-1)
-                if obs_weights is not None:
-                    obs_agg = obs_weights * obs_agg
-                obs_agg = jnp.mean(obs_agg, axis=-1)
+                # (reference: nlt/models/nlt.py:161-164). A single
+                # unweighted observation aggregates to itself (mean over
+                # one element) — skip the stack/mean, whose materialized
+                # (N, H, W, C, 1) intermediate costs real copies.
+                if obs_weights is None and len(obs_ys) == 1:
+                    obs_agg = obs_ys[0]
+                else:
+                    obs_agg = jnp.stack(obs_ys, axis=-1)
+                    if obs_weights is not None:
+                        obs_agg = obs_weights * obs_agg
+                    obs_agg = jnp.mean(obs_agg, axis=-1)
                 obs_xs = obs_ys
                 obs_i += 1
 

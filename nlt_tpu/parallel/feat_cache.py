@@ -1,23 +1,29 @@
-"""Device-resident cache of static ground-truth loss features.
+"""Device-resident cache of static per-example step inputs.
 
-LPIPS is the training step's single largest compute block (RESULTS.md:
-~0.74 ms of a 2.16 ms step at 512^2), and half of it — the AlexNet
-branch over the ground truth — recomputes the same values every epoch:
-gt_camspc depends only on static per-example data (models/nlt.gt_camspc),
-and the LPIPS network itself is frozen. This cache stores each example's
-normalized gt taps in HBM the first time the example is seen and feeds
-them back into every later step (train step variant
-parallel/train.make_train_step(cached_gt_feats=True)); the loss and its
-gradients are bit-identical to the uncached path because the gt branch
-carries no gradient.
+Two classes of the training step's work depend only on static
+per-example data, never on params, so recomputing them every step is
+pure waste:
+
+- the ground-truth branch of feature losses (LPIPS AlexNet taps of
+  gt_camspc; the LPIPS net is frozen) — models/base.extract_gt_feats;
+- the warp products gt_camspc and base_camspc themselves (the fg and
+  base resamples + resizes + alpha blend) — models/base.static_products.
+  Caching these removes two of the step's three resamples.
+
+This cache stores each example's extracted statics in HBM the first
+time the example is seen and feeds them back into every later step
+(train step variant parallel/train.make_train_step(cached_statics=True));
+the loss and its gradients are identical to the uncached path because
+none of the cached values carry gradients.
 
 No reference counterpart (the reference recomputes the frozen-graph
-LPIPS gt branch every step; nlt/losses.py:143-169) — this is a TPU-side
-optimization enabled by keeping the whole loss inside the jitted step.
+LPIPS gt branch and all three resamples every step; nlt/losses.py:
+143-169, nlt/models/nlt.py:104-137) — a TPU-side optimization enabled
+by keeping the whole loss inside the jitted step.
 
-Memory: ~10.6 MB per example at 512^2 float32 (logged at allocation).
-Scope: single-process, data-parallel-only (the driver disables it under
-multi-host or texel-tile sharding).
+Memory: ~17 MB per example at 512^2 float32 with barron+lpips (logged
+at allocation). Scope: single-process, data-parallel-only (the driver
+disables it under multi-host or texel-tile sharding).
 """
 
 import jax

@@ -39,22 +39,29 @@ def init_state(model, tx, key):
 
 
 def make_train_step(model, tx, mesh=None, tile_spatial=False,
-                    with_vis=True, cached_gt_feats=False):
+                    with_vis=True, cached_statics=False):
     """Returns train_step(state, batch) -> (state, loss, to_vis).
 
-    With cached_gt_feats, the signature is train_step(state, batch,
-    gt_feats): precomputed static ground-truth loss features (LPIPS
-    AlexNet taps — see models/base.extract_gt_feats) are reused instead
-    of recomputed, with bit-identical loss and gradients."""
+    With cached_statics, the signature is train_step(state, batch,
+    statics) where statics = {'feats': ..., 'products': ...} from
+    make_static_extractor: precomputed static ground-truth loss
+    features (LPIPS AlexNet taps — models/base.extract_gt_feats) and
+    params-independent warp products (models/base.static_products) are
+    reused instead of recomputed, with identical loss and gradients."""
 
     stochastic = (hasattr(model, "has_stochastic_loss")
                   and model.has_stochastic_loss())
 
-    def train_step(state, batch, gt_feats=None):
+    def train_step(state, batch, statics=None):
+        gt_feats = statics["feats"] if statics else None
+        products = (statics["products"] or None) if statics else None
+        apply_kwargs = {"statics": products} if products else {}
+
         def loss_fn(params):
-            pred, gt, kwargs, to_vis = model.apply(params, batch, "train")
+            pred, gt, kwargs, to_vis = model.apply(
+                params, batch, "train", **apply_kwargs)
             kwargs["keep_batch"] = True
-            if gt_feats is not None:
+            if gt_feats:
                 kwargs["gt_feats"] = gt_feats
             if stochastic:
                 # Fresh ensemble sample per step (E-LPIPS); identical
@@ -83,22 +90,29 @@ def make_train_step(model, tx, mesh=None, tile_spatial=False,
     # propagates — so one compiled step serves full batches and
     # replicated odd-sized (e.g. last vali) batches alike.
     del mesh, tile_spatial
-    if cached_gt_feats:
+    if cached_statics:
         return jax.jit(train_step, donate_argnums=0)
     # Without the cache, keep the two-arg signature (one traced arity).
     return jax.jit(lambda state, batch: train_step(state, batch),
                    donate_argnums=0)
 
 
-def make_gt_feat_extractor(model):
-    """Jitted (params, batch) -> {loss_i: gt features}: computes the
-    static ground truth without the network (models/nlt.gt_camspc) and
-    extracts the cacheable loss features. Loss params are frozen, so one
+def make_static_extractor(model):
+    """Jitted (params, batch) -> {'feats': {loss_i: gt features},
+    'products': {...}}: computes every params-independent per-example
+    intermediate once — the warp products (models/base.static_products,
+    incl. the static ground truth gt_camspc) and the cacheable loss
+    features of that ground truth. Loss params are frozen, so one
     extraction per example is valid for the whole run."""
 
     def extract(params, batch):
-        gt = model.gt_camspc(batch)
-        return model.extract_gt_feats(params, gt)
+        products = model.static_products(batch)
+        feats = {}
+        if model.feat_loss_indices():
+            gt = (products["gt_camspc"] if "gt_camspc" in products
+                  else model.gt_camspc(batch))
+            feats = model.extract_gt_feats(params, gt)
+        return {"feats": feats, "products": products}
 
     return jax.jit(extract)
 

@@ -198,17 +198,21 @@ def main(argv=None):
     eval_step = train_mod.make_eval_step(
         model, mesh=mesh, tile_spatial=tile_spatial)
 
-    # GT loss-feature cache (LPIPS): the gt branch of feature losses is
-    # static per example, so after the first epoch it is read from HBM
-    # instead of recomputed — bit-identical loss/gradients
-    # (parallel/feat_cache.py). Single-process data-parallel only.
+    # Static per-example cache: gt loss features (LPIPS taps) and warp
+    # products (gt_camspc/base_camspc) depend only on static data, so
+    # after the first epoch they are read from HBM instead of recomputed
+    # — identical loss/gradients (parallel/feat_cache.py). Knob:
+    # cache_static (defaults to lpips_cache_gt for config compat).
+    # Single-process data-parallel only.
     feat_cache = None
-    if (config.get_bool("lpips_cache_gt", False)
+    if (config.get_bool("cache_static",
+                        config.get_bool("lpips_cache_gt", False))
             and hasattr(model, "feat_loss_indices")
-            and model.feat_loss_indices()):
+            and (model.feat_loss_indices()
+                 or getattr(model, "static_products", None))):
         if is_multiprocess or tile_spatial or no_batch:
             logger.warn(
-                "lpips_cache_gt disabled (multi-host/tile-sharded/"
+                "cache_static disabled (multi-host/tile-sharded/"
                 "no_batch run)")
         else:
             from .parallel import feat_cache as feat_cache_mod
@@ -216,8 +220,8 @@ def main(argv=None):
                 dataset_train.files)
             train_step_cached = train_mod.make_train_step(
                 model, tx, mesh=mesh, tile_spatial=tile_spatial,
-                cached_gt_feats=True)
-            extract_gt_feats = train_mod.make_gt_feat_extractor(model)
+                cached_statics=True)
+            extract_statics = train_mod.make_static_extractor(model)
 
     # Summary writers + vis dir templates (reference: trainvali.py:144-161).
     writer_train = ScalarWriter(join(outdir, "summary_train"))
@@ -259,9 +263,9 @@ def main(argv=None):
             t0 = time.time()
             if feat_cache is not None and feat_cache.has_all(
                     batch["id"]):
-                gt_feats = feat_cache.gather(batch["id"])
+                statics = feat_cache.gather(batch["id"])
                 state, loss, to_vis = train_step_cached(
-                    state, arrays, gt_feats)
+                    state, arrays, statics)
             else:
                 state, loss, to_vis = train_step(state, arrays)
                 if feat_cache is not None:
@@ -269,7 +273,7 @@ def main(argv=None):
                     # post-step params is exact.
                     feat_cache.insert(
                         batch["id"],
-                        extract_gt_feats(state["params"], arrays))
+                        extract_statics(state["params"], arrays))
             # Don't block on the loss here: dispatch is async, so the
             # host thread goes straight back to feeding data while the
             # device crunches (the reference blocks implicitly in eager

@@ -63,7 +63,7 @@ def test_gt_camspc_matches_apply(setup):
 
 
 def test_cached_step_matches_plain(setup):
-    """One cached-gt-feats training step == one plain step: same loss,
+    """One cached-statics training step == one plain step: same loss,
     same updated params."""
     model, tx, batch = setup
     key = jax.random.PRNGKey(1)
@@ -72,14 +72,26 @@ def test_cached_step_matches_plain(setup):
 
     step_plain = train_mod.make_train_step(model, tx, with_vis=False)
     step_cached = train_mod.make_train_step(
-        model, tx, with_vis=False, cached_gt_feats=True)
-    extract = train_mod.make_gt_feat_extractor(model)
+        model, tx, with_vis=False, cached_statics=True)
+    extract = train_mod.make_static_extractor(model)
 
     feats = extract(s_cached["params"], batch)
-    assert set(feats) == {str(i) for i in model.feat_loss_indices()}
+    assert set(feats) == {"feats", "products"}
+    assert set(feats["feats"]) == {
+        str(i) for i in model.feat_loss_indices()}
+    assert set(feats["products"]) == {"gt_camspc", "base_camspc"}
 
     s_plain, l_plain = step_plain(s_plain, batch)
     s_cached, l_cached = step_cached(s_cached, batch, feats)
+    # The cached warp products equal apply()'s inline computation.
+    prods = model.static_products(batch)
+    _, gt_apply, _, to_vis = model.apply(
+        s_plain["params"], batch, "train")
+    np.testing.assert_array_equal(
+        np.asarray(prods["gt_camspc"]), np.asarray(gt_apply))
+    np.testing.assert_array_equal(
+        np.asarray(prods["base_camspc"]),
+        np.asarray(to_vis["base_camspc"]))
 
     np.testing.assert_allclose(
         float(l_plain), float(l_cached), rtol=1e-6)
@@ -93,8 +105,8 @@ def test_feat_cache_roundtrip(setup):
     """Insert then gather returns the inserted features, in id order."""
     model, _, batch = setup
     params = model.init_params(jax.random.PRNGKey(0))
-    extract = train_mod.make_gt_feat_extractor(model)
-    feats = extract(params, batch)
+    extract = train_mod.make_static_extractor(model)
+    feats = extract(params, batch)["feats"]
 
     ids = ["ex_b", "ex_a", "ex_c", "ex_d"]
     cache = feat_cache_mod.GTFeatureCache(ids)

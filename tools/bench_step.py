@@ -68,13 +68,13 @@ def main():
         step = train_mod.make_train_step(model, tx, with_vis=False)
 
         variants = [("", step, ())]
-        if args.cached_gt and model.feat_loss_indices():
+        if args.cached_gt:
             step_cached = train_mod.make_train_step(
-                model, tx, with_vis=False, cached_gt_feats=True)
-            extract = train_mod.make_gt_feat_extractor(model)
-            gt_feats = extract(state["params"], batch)
-            jax.block_until_ready(gt_feats)
-            variants.append((" [cached gt]", step_cached, (gt_feats,)))
+                model, tx, with_vis=False, cached_statics=True)
+            extract = train_mod.make_static_extractor(model)
+            statics = extract(state["params"], batch)
+            jax.block_until_ready(statics)
+            variants.append((" [cached statics]", step_cached, (statics,)))
 
         for tag, fn, extra in variants:
             state, l = fn(state, batch, *extra)  # compile
