@@ -55,8 +55,8 @@ _CHUNK = 8192
 _VMEM_LIMIT = 110 * 1024 * 1024
 
 
-def _kernel(idx_ref, upd_ref, out_ref, table, sem, *, piece, chunk,
-            chunks_per_group, w):
+def _kernel(idx_ref, lo_ref, hi_ref, upd_ref, out_ref, table, sem, *,
+            piece, chunk, chunks_per_group, w):
     n = pl.program_id(0)
     h = pl.program_id(1)
     c = pl.program_id(2)
@@ -71,7 +71,15 @@ def _kernel(idx_ref, upd_ref, out_ref, table, sem, *, piece, chunk,
             table[pl.ds(r, 1), 0:w] + upd_ref[0, pl.ds(i, 1), :])
         return 0
 
-    jax.lax.fori_loop(0, chunk, body, 0)
+    # Only scan [lo, hi): the caller pre-computes, per (group, piece,
+    # chunk), the first/last update position that hits this piece.
+    # Updates are in output-scanline order, so for coherent warps each
+    # piece's hits are a contiguous run — the other pieces' updates
+    # (which would all route to the dump row) are skipped instead of
+    # scanned, turning the grid's updates-x-pieces scan into ~one pass
+    # over the updates.
+    j = (n * pl.num_programs(1) + h) * chunks_per_group + c
+    jax.lax.fori_loop(lo_ref[j], hi_ref[j], body, 0)
 
     @pl.when(c == chunks_per_group - 1)
     def _():
@@ -136,10 +144,24 @@ def _scatter_local(idx, upd, n_rows, n_groups=1):
     hit = jnp.logical_and(rel >= 0, rel < piece)
     routed = jnp.where(hit, rel, piece).astype(jnp.int32).reshape(-1)
 
+    # Per-(group, piece, chunk) loop bounds: the [lo, hi) span of hit
+    # positions within the chunk (empty chunks get lo=chunk > hi=0, a
+    # zero-iteration loop). Static per warp field; a cheap dense
+    # reduction here, and skipped entirely when the caller supplies a
+    # cached plan.
+    hit4 = hit.reshape(n_groups, pieces_per_group,
+                       chunks_per_group, _CHUNK)
+    pos = jnp.arange(_CHUNK, dtype=jnp.int32)
+    lo = jnp.min(jnp.where(hit4, pos, _CHUNK),
+                 axis=-1).astype(jnp.int32).reshape(-1)
+    hi = jnp.max(jnp.where(hit4, pos + 1, 0),
+                 axis=-1).astype(jnp.int32).reshape(-1)
+
     kernel = functools.partial(
         _kernel, piece=piece, chunk=_CHUNK,
         chunks_per_group=chunks_per_group, w=w)
     n_pieces_total = n_groups * pieces_per_group
+    n_bounds = n_pieces_total * chunks_per_group
     out = pl.pallas_call(
         kernel,
         grid=(n_groups, pieces_per_group, chunks_per_group),
@@ -152,6 +174,14 @@ def _scatter_local(idx, upd, n_rows, n_groups=1):
                 (_CHUNK,),
                 lambda n, h, c, P=pieces_per_group,
                 C=chunks_per_group: ((n * P + h) * C + c,),
+                memory_space=pltpu.SMEM),
+            # Whole (tiny) bounds arrays resident in SMEM; the kernel
+            # indexes them by its own grid position.
+            pl.BlockSpec(
+                (n_bounds,), lambda n, h, c: (0,),
+                memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (n_bounds,), lambda n, h, c: (0,),
                 memory_space=pltpu.SMEM),
             pl.BlockSpec(
                 (1, _CHUNK, w),
@@ -168,7 +198,7 @@ def _scatter_local(idx, upd, n_rows, n_groups=1):
         # Off-TPU (tests, debugging): run the kernel in the Pallas
         # interpreter — same semantics, no Mosaic.
         interpret=jax.default_backend() != "tpu",
-    )(routed, upd)
+    )(routed, lo, hi, upd)
 
     # Strip lane padding, dump rows, and piece overhang.
     out = out[:, :, :w].reshape(n_groups, pieces_per_group, rows_out, w)
