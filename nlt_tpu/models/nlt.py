@@ -203,8 +203,16 @@ class Model(BaseModel):
             axis=3)
 
         pred_c = imgutil.set_left_top_corner(pred, 0.0)
-        pred_camspc = resample_mod.resample(
-            pred_c, warp, impl=self.resample_impl)
+        plan = statics.get("pred_plan") if statics is not None else None
+        if plan is not None:
+            # The warp-only work (rows, bilinear weights, scatter
+            # routing) was precomputed per example (static_products)
+            # and cached in HBM; only the window take + weighted
+            # combine (and its Pallas-scatter VJP) run per step.
+            pred_camspc = resample_mod.resample_planned(pred_c, plan)
+        else:
+            pred_camspc = resample_mod.resample(
+                pred_c, warp, impl=self.resample_impl)
         pred_camspc = imgutil.resize(pred_camspc, self.imh, self.imw)
 
         if statics is not None:
@@ -273,11 +281,17 @@ class Model(BaseModel):
             base_c, warp, impl=self.resample_impl)
         fg_camspc = imgutil.resize(fg_camspc, self.imh, self.imw)
         base_camspc = imgutil.resize(base_camspc, self.imh, self.imw)
-        return {
+        products = {
             "gt_camspc": imgutil.alpha_blend(
                 batch["rgb_camspc"], fg_camspc),
             "base_camspc": base_camspc,
         }
+        if self.resample_impl == "xla":
+            # Warp-only resample plan for the per-step pred warp (rows,
+            # per-slot bilinear weights, backward-scatter routing) —
+            # consumed by resample_planned in apply().
+            products["pred_plan"] = resample_mod.make_plan(warp, h, w)
+        return products
 
     def gt_camspc(self, batch):
         """The training target, computed WITHOUT the network (see

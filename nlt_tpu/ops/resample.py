@@ -191,6 +191,122 @@ def _resample_flat(img, warp):
         + corner(x0 + 1, y0 + 1, tx * ty))
 
 
+# ---- planned resampling (static warp) ------------------------------
+#
+# In the NLT training step the warp field is STATIC per example (the
+# fixed uv2cam mapping), so everything the resampler derives from it —
+# window-base rows, bilinear weights, and the backward scatter's
+# routing — is recomputable waste in the hot step. make_plan computes
+# those once (the driver caches them in HBM per example next to the
+# LPIPS gt features, parallel/feat_cache.py) and resample_planned
+# consumes them, leaving only the truly dynamic work in the step: the
+# window-table build, the flat row take, the 4-slot weighted combine,
+# and the Pallas scatter in the VJP. No gradient flows to the warp on
+# this path (none is needed: the warp is data, not params).
+
+
+def _take_rows_planned_fwd(table, idx, routed, lo, hi, n_groups=1):
+    return jnp.take(table, idx, axis=0), (
+        idx, routed, lo, hi, table.shape[0])
+
+
+def _take_rows_planned_bwd(n_groups, res, g):
+    idx, routed, lo, hi, n_rows = res
+    use_pallas = (
+        jax.default_backend() == "tpu"
+        and g.dtype == jnp.float32
+        and g.shape[0] >= 65536
+        and g.shape[1] <= 128
+        and n_rows % n_groups == 0
+        and g.shape[0] % n_groups == 0)
+    if use_pallas:
+        d_table = scatter_pallas.scatter_add_rows_planned(
+            routed, lo, hi, g, n_rows, n_groups)
+    else:
+        d_table = jnp.zeros((n_rows, g.shape[1]), g.dtype).at[idx].add(g)
+    return d_table, None, None, None, None
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _take_rows_planned(table, idx, routed, lo, hi, n_groups=1):
+    """_take_rows with the scatter routing precomputed (make_plan)."""
+    return jnp.take(table, idx, axis=0)
+
+
+_take_rows_planned.defvjp(_take_rows_planned_fwd, _take_rows_planned_bwd)
+
+
+def make_plan(warp, h, w):
+    """Precompute the warp-only parts of resample() for a (h, w, C)
+    source: per-example window-base rows, per-SLOT bilinear weights
+    (the 4 corner weights folded onto the 2x2 window slots they clip
+    to, with out-of-bounds taps zeroed — exactly the combine
+    _resample_flat performs with selects), and the backward scatter's
+    routing plan.
+
+    Args:
+        warp: (N, Ho, Wo, 2) source coordinates in pixel units.
+        h, w: source image height/width.
+
+    Returns:
+        dict of per-example arrays (leading dim N, HBM-cacheable):
+        rows (N, Ho, Wo) int32 example-local window-base rows;
+        wslot (N, Ho, Wo, 4) float32 per-slot weights; routed/lo/hi
+        (grouped int32) from scatter_pallas.make_plan.
+    """
+    n = warp.shape[0]
+    x = warp[..., 0]
+    y = warp[..., 1]
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    tx = x - x0f
+    ty = y - y0f
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+    bx = jnp.clip(x0, 0, w - 2)
+    by = jnp.clip(y0, 0, h - 2)
+    rows = by * w + bx
+
+    wslot = jnp.zeros(x.shape + (4,), x.dtype)
+    corners = (
+        (x0, y0, (1 - tx) * (1 - ty)),
+        (x0 + 1, y0, tx * (1 - ty)),
+        (x0, y0 + 1, (1 - tx) * ty),
+        (x0 + 1, y0 + 1, tx * ty))
+    slot_ids = jnp.arange(4, dtype=jnp.int32)
+    for cx, cy, wgt in corners:
+        xc = jnp.clip(cx, 0, w - 1)
+        yc = jnp.clip(cy, 0, h - 1)
+        j = ((yc == by + 1).astype(jnp.int32) * 2
+             + (xc == bx + 1).astype(jnp.int32))
+        inb = (cx >= 0) & (cx < w) & (cy >= 0) & (cy < h)
+        wgt = jnp.where(inb, wgt, 0.0)
+        wslot = wslot + jnp.where(
+            j[..., None] == slot_ids, wgt[..., None], 0.0)
+
+    base_global = (rows + jnp.arange(n, dtype=jnp.int32)[:, None, None]
+                   * (h * w))
+    routed, lo, hi = scatter_pallas.make_plan(
+        base_global.reshape(-1), n * h * w, n)
+    return {"rows": rows, "wslot": wslot,
+            "routed": routed, "lo": lo, "hi": hi}
+
+
+def resample_planned(img, plan):
+    """resample(img, warp) with the warp-only work precomputed by
+    make_plan(warp, h, w). Differentiable in img only."""
+    n, h, w, c = img.shape
+    rows = plan["rows"]
+    assert rows.shape[0] == n, "plan batch dim mismatch"
+    table = _window_table(img).reshape(n * h * w, 4 * c)
+    idx = rows + jnp.arange(n, dtype=jnp.int32)[:, None, None] * (h * w)
+    win = _take_rows_planned(
+        table, idx.reshape(-1), plan["routed"], plan["lo"], plan["hi"],
+        n)
+    win = win.reshape(rows.shape + (4, c))
+    return jnp.sum(win * plan["wslot"][..., None], axis=3)
+
+
 @functools.partial(jax.jit, static_argnames=("impl",))
 def resample(img, warp, impl="xla"):
     """Batched bilinear resampling.

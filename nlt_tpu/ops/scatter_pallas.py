@@ -96,66 +96,95 @@ def _kernel(idx_ref, lo_ref, hi_ref, upd_ref, out_ref, table, sem, *,
         dma.wait()
 
 
-def _scatter_local(idx, upd, n_rows, n_groups=1):
-    """zeros((n_rows, W)).at[idx].add(upd) via the VMEM kernel.
-
-    Args:
-        idx: (R,) int32 target rows.
-        upd: (R, W) float32 updates.
-        n_rows: output table rows.
-        n_groups: contiguity groups (e.g. batch size): updates in the
-            g-th R/n_groups-slice of idx/upd must target rows in the
-            g-th n_rows/n_groups-slice of the table. Pass 1 if unknown
-            (correct for any idx, but scans all updates per piece).
-    """
-    r_total, w = upd.shape
-    assert idx.shape == (r_total,)
-    assert n_rows % n_groups == 0 and r_total % n_groups == 0
-    group_rows = n_rows // n_groups
-    r_group = r_total // n_groups
-
+def plan_geometry(group_rows, r_group):
+    """Static kernel geometry for a (group_rows, r_group) scatter:
+    (pieces_per_group, piece, chunks_per_group, r_pad_group). Shared by
+    the in-step routing below and by cached plans (make_plan) so the
+    two always agree."""
     pieces_per_group = -(-group_rows // _PIECE)
     piece = min(_PIECE, -(-group_rows // pieces_per_group))
     piece = -(-piece // 8) * 8  # sublane-aligned
-    rows_out = piece + 8  # each piece is written with its dump rows
-    rows_pad = n_groups * pieces_per_group * rows_out
     chunks_per_group = -(-r_group // _CHUNK)
     r_pad_group = chunks_per_group * _CHUNK
+    return pieces_per_group, piece, chunks_per_group, r_pad_group
+
+
+def make_plan(idx, n_rows, n_groups=1):
+    """Precompute the kernel's routing for a fixed idx: the per-piece
+    routed local rows and the per-(group, piece, chunk) [lo, hi) scan
+    bounds. The plan depends only on idx (for the resampler: only on
+    the static warp field), so callers with static indices compute it
+    once per example and cache it in HBM (parallel/feat_cache.py),
+    removing this dense routing pass from the hot step.
+
+    Args:
+        idx: (R,) int32 target rows (global; -1 marks padding).
+        n_rows, n_groups: as in scatter_add_rows.
+
+    Returns:
+        routed: (n_groups, pieces_per_group, r_pad_group) int32 —
+            per-piece local row, or the dump row (== piece) on miss.
+        lo, hi: (n_groups, pieces_per_group, chunks_per_group) int32.
+    """
+    (r_total,) = idx.shape
+    assert n_rows % n_groups == 0 and r_total % n_groups == 0
+    group_rows = n_rows // n_groups
+    r_group = r_total // n_groups
+    pieces_per_group, piece, chunks_per_group, r_pad_group = (
+        plan_geometry(group_rows, r_group))
 
     idx = idx.reshape(n_groups, r_group)
-    upd = upd.reshape(n_groups, r_group, w)
     if r_pad_group != r_group:
         pad = r_pad_group - r_group
         # Padding rows route to the dump row in every piece.
         idx = jnp.concatenate(
             [idx, jnp.full((n_groups, pad), -1, jnp.int32)], axis=1)
-        upd = jnp.concatenate(
-            [upd, jnp.zeros((n_groups, pad, w), upd.dtype)], axis=1)
 
     # Pre-route rows per piece on the VPU: local row when the update
-    # hits the piece, else the dump row (index `piece`). Shape
-    # (n_groups, pieces_per_group, r_pad_group). Group-local rows come
-    # from a modulo, which is SHARD-INVARIANT: a device holding groups
-    # [k, k+m) of a batch-sharded call computes the same local rows as
-    # the global program would (enables custom_partitioning).
+    # hits the piece, else the dump row (index `piece`). Group-local
+    # rows come from a modulo, which is SHARD-INVARIANT: a device
+    # holding groups [k, k+m) of a batch-sharded call computes the same
+    # local rows as the global program would (enables
+    # custom_partitioning).
     local = jnp.where(idx >= 0, idx % group_rows, -1)
     piece_ids = jnp.arange(pieces_per_group, dtype=jnp.int32)
     rel = local[:, None, :] - piece_ids[None, :, None] * piece
     hit = jnp.logical_and(rel >= 0, rel < piece)
-    routed = jnp.where(hit, rel, piece).astype(jnp.int32).reshape(-1)
+    routed = jnp.where(hit, rel, piece).astype(jnp.int32)
 
     # Per-(group, piece, chunk) loop bounds: the [lo, hi) span of hit
     # positions within the chunk (empty chunks get lo=chunk > hi=0, a
-    # zero-iteration loop). Static per warp field; a cheap dense
-    # reduction here, and skipped entirely when the caller supplies a
-    # cached plan.
+    # zero-iteration loop).
     hit4 = hit.reshape(n_groups, pieces_per_group,
                        chunks_per_group, _CHUNK)
     pos = jnp.arange(_CHUNK, dtype=jnp.int32)
     lo = jnp.min(jnp.where(hit4, pos, _CHUNK),
-                 axis=-1).astype(jnp.int32).reshape(-1)
+                 axis=-1).astype(jnp.int32)
     hi = jnp.max(jnp.where(hit4, pos + 1, 0),
-                 axis=-1).astype(jnp.int32).reshape(-1)
+                 axis=-1).astype(jnp.int32)
+    return routed, lo, hi
+
+
+def _scatter_planned_local(routed, lo, hi, upd, group_rows):
+    """Kernel invocation with precomputed routing. routed/lo/hi as
+    returned by make_plan (grouped shapes); upd (n_groups, r_group, W)
+    float32. Returns the (n_groups * group_rows, W) table."""
+    n_groups, pieces_per_group, r_pad_group = routed.shape
+    chunks_per_group = lo.shape[2]
+    _, r_group, w = upd.shape
+    pieces_chk, piece, chunks_chk, r_pad_chk = plan_geometry(
+        group_rows, r_group)
+    assert (pieces_chk, chunks_chk, r_pad_chk) == (
+        pieces_per_group, chunks_per_group, r_pad_group), (
+        "plan geometry mismatch: plan %s vs expected %s" % (
+            (pieces_per_group, chunks_per_group, r_pad_group),
+            (pieces_chk, chunks_chk, r_pad_chk)))
+    rows_out = piece + 8
+
+    if r_pad_group != r_group:
+        pad = r_pad_group - r_group
+        upd = jnp.concatenate(
+            [upd, jnp.zeros((n_groups, pad, w), upd.dtype)], axis=1)
 
     kernel = functools.partial(
         _kernel, piece=piece, chunk=_CHUNK,
@@ -198,12 +227,34 @@ def _scatter_local(idx, upd, n_rows, n_groups=1):
         # Off-TPU (tests, debugging): run the kernel in the Pallas
         # interpreter — same semantics, no Mosaic.
         interpret=jax.default_backend() != "tpu",
-    )(routed, lo, hi, upd)
+    )(routed.reshape(-1), lo.reshape(-1), hi.reshape(-1), upd)
 
     # Strip lane padding, dump rows, and piece overhang.
     out = out[:, :, :w].reshape(n_groups, pieces_per_group, rows_out, w)
     out = out[:, :, :piece].reshape(n_groups, pieces_per_group * piece, w)
-    return out[:, :group_rows].reshape(n_rows, w)
+    return out[:, :group_rows].reshape(n_groups * group_rows, w)
+
+
+def _scatter_local(idx, upd, n_rows, n_groups=1):
+    """zeros((n_rows, W)).at[idx].add(upd) via the VMEM kernel.
+
+    Args:
+        idx: (R,) int32 target rows.
+        upd: (R, W) float32 updates.
+        n_rows: output table rows.
+        n_groups: contiguity groups (e.g. batch size): updates in the
+            g-th R/n_groups-slice of idx/upd must target rows in the
+            g-th n_rows/n_groups-slice of the table. Pass 1 if unknown
+            (correct for any idx, but scans all updates per piece).
+    """
+    r_total, w = upd.shape
+    assert idx.shape == (r_total,)
+    assert n_rows % n_groups == 0 and r_total % n_groups == 0
+    group_rows = n_rows // n_groups
+    routed, lo, hi = make_plan(idx, n_rows, n_groups)
+    return _scatter_planned_local(
+        routed, lo, hi, upd.reshape(n_groups, r_total // n_groups, w),
+        group_rows)
 
 
 # ---- multi-device partitioning ------------------------------------
@@ -307,5 +358,78 @@ def scatter_add_rows(idx, upd, n_rows, n_groups=1):
     rows_g = n_rows // n_groups
     out3 = _get_scatter_cp(rows_g)(
         idx.reshape(n_groups, r_total // n_groups),
+        upd.reshape(n_groups, r_total // n_groups, w))
+    return out3.reshape(n_rows, w)
+
+
+# ---- planned variant (precomputed routing) -------------------------
+
+
+def _partition_planned(mesh, arg_shapes, result_shape):
+    rows_g = result_shape.shape[1]
+    axis = _dim0_axis(arg_shapes[3].sharding)
+    if axis is None:
+        axis = _dim0_axis(arg_shapes[0].sharding)
+    n_groups = arg_shapes[0].shape[0]
+    shards = _axis_size(mesh, axis)
+    if axis is None or n_groups % shards != 0 or shards <= 1:
+        spec3 = P(None, None, None)
+        arg_shardings = (NamedSharding(mesh, spec3),) * 4
+        result_sharding = NamedSharding(mesh, spec3)
+    else:
+        spec3 = P(axis, None, None)
+        arg_shardings = (NamedSharding(mesh, spec3),) * 4
+        result_sharding = NamedSharding(mesh, spec3)
+
+    def lower_fn(routed, lo, hi, upd3):
+        return _scatter_planned_local(
+            routed, lo, hi, upd3, rows_g).reshape(
+            upd3.shape[0], rows_g, upd3.shape[2])
+
+    return mesh, lower_fn, result_sharding, arg_shardings
+
+
+def _infer_sharding_planned(mesh, arg_shapes, result_shape):
+    axis = _dim0_axis(arg_shapes[3].sharding)
+    if axis is None:
+        axis = _dim0_axis(arg_shapes[0].sharding)
+    n_groups = arg_shapes[0].shape[0]
+    if axis is None or n_groups % _axis_size(mesh, axis) != 0:
+        return NamedSharding(mesh, P(None, None, None))
+    return NamedSharding(mesh, P(axis, None, None))
+
+
+@functools.lru_cache(maxsize=None)
+def _get_scatter_planned_cp(rows_g):
+    """custom_partitioning instance for the planned scatter, keyed on
+    rows-per-group (same reasoning as _get_scatter_cp)."""
+
+    @custom_partitioning
+    def _scatter_planned_cp(routed, lo, hi, upd3):
+        g, _, w = upd3.shape
+        return _scatter_planned_local(
+            routed, lo, hi, upd3, rows_g).reshape(g, rows_g, w)
+
+    _scatter_planned_cp.def_partition(
+        partition=_partition_planned,
+        infer_sharding_from_operands=_infer_sharding_planned,
+        # routed's last dim (padded updates) and lo/hi's (chunks) are
+        # distinct factors from upd's r: name them separately.
+        sharding_rule="g p q, g p c, g p c, g r w -> g m w")
+    return _scatter_planned_cp
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows", "n_groups"))
+def scatter_add_rows_planned(routed, lo, hi, upd, n_rows, n_groups=1):
+    """scatter_add_rows with the routing precomputed by make_plan
+    (e.g. cached per example when the indices derive from a static warp
+    field). routed/lo/hi: grouped plan arrays; upd: (R, W) float32.
+    Returns the (n_rows, W) accumulated table."""
+    r_total, w = upd.shape
+    assert n_rows % n_groups == 0 and r_total % n_groups == 0
+    assert routed.shape[0] == n_groups and lo.shape[0] == n_groups
+    rows_g = n_rows // n_groups
+    out3 = _get_scatter_planned_cp(rows_g)(
+        routed, lo, hi,
         upd.reshape(n_groups, r_total // n_groups, w))
     return out3.reshape(n_rows, w)

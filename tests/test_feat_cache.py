@@ -79,7 +79,8 @@ def test_cached_step_matches_plain(setup):
     assert set(feats) == {"feats", "products"}
     assert set(feats["feats"]) == {
         str(i) for i in model.feat_loss_indices()}
-    assert set(feats["products"]) == {"gt_camspc", "base_camspc"}
+    assert set(feats["products"]) == {
+        "gt_camspc", "base_camspc", "pred_plan"}
 
     s_plain, l_plain = step_plain(s_plain, batch)
     s_cached, l_cached = step_cached(s_cached, batch, feats)

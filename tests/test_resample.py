@@ -144,3 +144,65 @@ def test_flat_matches_percorner_values_and_grads(rng):
         np.asarray(gi_f), np.asarray(gi_r), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(
         np.asarray(gw_f), np.asarray(gw_r), rtol=1e-5, atol=1e-5)
+
+
+def test_planned_matches_standard_values_and_grads(rng):
+    """resample_planned(img, make_plan(warp)) == resample(img, warp),
+    values and image-gradients, incl. out-of-range warps."""
+    n, h, w, c = 2, 12, 11, 3
+    img = jnp.asarray(rng.uniform(0, 1, (n, h, w, c)))
+    warp = jnp.asarray(np.stack([
+        rng.uniform(-2, w + 2, (n, 9, 10)),
+        rng.uniform(-2, h + 2, (n, 9, 10))], axis=-1))
+    plan = resample.make_plan(warp, h, w)
+
+    out_std = resample.resample(img, warp)
+    out_pl = resample.resample_planned(img, plan)
+    np.testing.assert_allclose(
+        np.asarray(out_pl), np.asarray(out_std), rtol=1e-12, atol=1e-12)
+
+    g = jnp.asarray(rng.uniform(-1, 1, out_std.shape))
+    grad_std = jax.grad(
+        lambda im: jnp.sum(resample.resample(im, warp) * g))(img)
+    grad_pl = jax.grad(
+        lambda im: jnp.sum(resample.resample_planned(im, plan) * g))(img)
+    np.testing.assert_allclose(
+        np.asarray(grad_pl), np.asarray(grad_std),
+        rtol=1e-12, atol=1e-12)
+
+
+def test_planned_kernel_route_matches_fallback(rng, monkeypatch):
+    """Force the planned VJP through the Pallas kernel (interpret mode
+    on CPU) and check gradients equal the XLA-scatter fallback."""
+    from nlt_tpu.ops import scatter_pallas
+
+    n, h, w, c = 2, 16, 16, 3
+    img = jnp.asarray(rng.uniform(0, 1, (n, h, w, c)).astype(np.float32))
+    warp = jnp.asarray(
+        (_identity_warp(h, w, n)
+         + rng.uniform(0, 1, (n, h, w, 2))).astype(np.float32))
+    plan = resample.make_plan(warp, h, w)
+    g = jnp.asarray(rng.uniform(-1, 1, (n, h, w, c)).astype(np.float32))
+
+    def loss(im):
+        return jnp.sum(resample.resample_planned(im, plan) * g)
+
+    grad_fallback = jax.grad(loss)(img)
+
+    def forced(n_groups, res, grads):
+        _, routed, lo, hi, n_rows = res
+        return (scatter_pallas.scatter_add_rows_planned(
+            routed, lo, hi, grads, n_rows, n_groups),
+            None, None, None, None)
+
+    orig = resample._take_rows_planned_bwd
+    resample._take_rows_planned.defvjp(
+        resample._take_rows_planned_fwd, forced)
+    try:
+        grad_kernel = jax.grad(loss)(img)
+    finally:
+        resample._take_rows_planned.defvjp(
+            resample._take_rows_planned_fwd, orig)
+    np.testing.assert_allclose(
+        np.asarray(grad_kernel), np.asarray(grad_fallback),
+        rtol=1e-6, atol=1e-6)

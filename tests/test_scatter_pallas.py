@@ -74,3 +74,25 @@ def test_resampler_vjp_uses_kernel_path_equivalently(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(grad_kernel), np.asarray(grad_fallback),
         rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("n_rows,n_groups,per_group,w", [
+    (64, 2, 50, 5),
+    (2048, 4, 750, 12),
+    (96, 1, 50, 3),
+])
+def test_planned_matches_np_add_at(n_rows, n_groups, per_group, w):
+    from nlt_tpu.ops.scatter_pallas import (make_plan,
+                                            scatter_add_rows_planned)
+    rng = np.random.RandomState(n_rows * 7 + w)
+    gr = n_rows // n_groups
+    gi = np.concatenate(
+        [g * gr + rng.randint(0, gr, per_group) for g in range(n_groups)])
+    idx = jnp.asarray(gi.astype(np.int32))
+    upd = jnp.asarray(rng.rand(len(gi), w).astype(np.float32))
+    routed, lo, hi = jax.jit(
+        make_plan, static_argnums=(1, 2))(idx, n_rows, n_groups)
+    out = scatter_add_rows_planned(routed, lo, hi, upd, n_rows, n_groups)
+    ref = np.zeros((n_rows, w), np.float32)
+    np.add.at(ref, gi, np.asarray(upd))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-6, atol=1e-6)

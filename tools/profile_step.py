@@ -71,6 +71,13 @@ def parse_trace(tracedir, steps):
         print("  %-24s %7.2f ms/step (%4.1f%%)  %s"
               % (k, v / steps / 1e3, 100 * v / tot,
                  src.get(k, "")[-60:]))
+    by_src = collections.Counter()
+    for k, v in by.items():
+        by_src[src.get(k, "?")] += v
+    print("\nby source line (all ops):")
+    for k, v in by_src.most_common(24):
+        print("  %7.2f ms/step (%4.1f%%)  %s"
+              % (v / steps / 1e3, 100 * v / tot, k[-70:]))
 
 
 def main():
@@ -83,6 +90,8 @@ def main():
     p.add_argument("--tracedir", type=str, default="/tmp/nlt_tpu_profile")
     p.add_argument("--keep", action="store_true",
                    help="keep the trace dir for the TB profile viewer")
+    p.add_argument("--cached", action="store_true",
+                   help="profile the cached-statics step variant")
     args = p.parse_args()
 
     import jax
@@ -96,16 +105,23 @@ def main():
                         loss=args.loss)
     tx = train_mod.make_optimizer(1e-3)
     state = train_mod.init_state(model, tx, jax.random.PRNGKey(0))
-    step = train_mod.make_train_step(model, tx, with_vis=False)
+    step = train_mod.make_train_step(model, tx, with_vis=False,
+                                     cached_statics=args.cached)
     batch = {k: jax.device_put(np.asarray(v))
              for k, v in _make_batch(args.bs, args.res, args.res).items()}
-    state, loss = step(state, batch)
+    if args.cached:
+        extract = train_mod.make_static_extractor(model)
+        statics = extract(state["params"], batch)
+        run = lambda state: step(state, batch, statics)
+    else:
+        run = lambda state: step(state, batch)
+    state, loss = run(state)
     float(loss)  # compile + sync (block_until_ready would not)
 
     shutil.rmtree(args.tracedir, ignore_errors=True)
     jax.profiler.start_trace(args.tracedir)
     for _ in range(args.steps):
-        state, loss = step(state, batch)
+        state, loss = run(state)
     float(loss)
     jax.profiler.stop_trace()
 
