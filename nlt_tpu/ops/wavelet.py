@@ -20,6 +20,7 @@ folded into the batch dim by the caller).
 """
 
 import collections
+import functools
 
 import numpy as np
 import jax.numpy as jnp
@@ -109,18 +110,46 @@ def _conv1d(x, f, axis, stride):
     return y[:, :, :, 0]
 
 
-def _downsample(x, f, direction, shift):
-    """Reflect-pad, convolve with `f`, and decimate by 2 along spatial axis
-    `direction` (0 = rows, 1 = cols), with sub-pixel `shift` in {0, 1}
-    (reference: wavelet.py:478-519)."""
-    assert x.ndim == 3 and direction in (0, 1) and shift in (0, 1)
-    flen = len(f)
-    axis = direction + 1
-    x_padded = pad_reflecting(x, (flen - 1) // 2, flen // 2, axis)
+@functools.lru_cache(maxsize=None)
+def _downsample_matrix(n, f_bytes, flen, shift):
+    """Dense (m, n) matrix implementing reflect-pad + correlate + decimate
+    for a length-n axis: y[i] = sum_k f[k] x[reflect_idx[2i + shift + k]].
+    Built once per (axis length, filter, shift) at trace time; tiny
+    (<= 256 x 512 f64 at the flagship shapes)."""
+    f = np.frombuffer(f_bytes, np.float64)
+    idx = _reflect_indices(n, (flen - 1) // 2, flen // 2)
     if shift:
-        x_padded = lax.slice_in_dim(
-            x_padded, shift, x_padded.shape[axis], axis=axis)
-    return _conv1d(x_padded, f, axis, stride=2)
+        idx = idx[shift:]
+    m = (len(idx) - flen) // 2 + 1
+    d = np.zeros((m, n))
+    for i in range(m):
+        for k in range(flen):
+            d[i, idx[2 * i + k]] += f[k]
+    return d
+
+
+def _downsample(x, f, direction, shift):
+    """Reflect-pad, correlate with `f`, and decimate by 2 along spatial
+    axis `direction` (0 = rows, 1 = cols), with sub-pixel `shift` in
+    {0, 1} (reference: wavelet.py:478-519).
+
+    TPU-first: the pad + K-tap stride-2 correlation folds into one
+    static band matrix (reflections included) applied as an MXU einsum.
+    The 1-channel lax convs this replaces ran ~25x off the HBM roofline
+    (reflect-gather materialization + C=1 conv lowering); the matmul's
+    wasted multiplies-by-zero are free by comparison. Its autodiff
+    transpose is automatically the exact transposed-reflecting operator
+    (the reference's _upsample contract, wavelet.py:522-581)."""
+    assert x.ndim == 3 and direction in (0, 1) and shift in (0, 1)
+    f = np.ascontiguousarray(np.asarray(f, np.float64))
+    n = x.shape[direction + 1]
+    d = jnp.asarray(
+        _downsample_matrix(n, f.tobytes(), len(f), shift), x.dtype)
+    if direction == 0:
+        return jnp.einsum("mh,bhw->bmw", d, x,
+                          precision=lax.Precision.HIGHEST)
+    return jnp.einsum("bhw,mw->bhm", x, d,
+                      precision=lax.Precision.HIGHEST)
 
 
 def _upsample(x, up_sz, f, direction, shift):
