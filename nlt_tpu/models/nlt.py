@@ -289,8 +289,13 @@ class Model(BaseModel):
         if self.resample_impl == "xla":
             # Warp-only resample plan for the per-step pred warp (rows,
             # per-slot bilinear weights, backward-scatter routing) —
-            # consumed by resample_planned in apply().
-            products["pred_plan"] = resample_mod.make_plan(warp, h, w)
+            # consumed by resample_planned in apply(). The (0, 0) texel
+            # is blacked out before the resample and its gradient
+            # zeroed by set_left_top_corner's VJP, so updates that only
+            # write there (all background queries) are dropped from the
+            # scatter plan.
+            products["pred_plan"] = resample_mod.make_plan(
+                warp, h, w, zero_grad_texel=(0, 0))
         return products
 
     def gt_camspc(self, batch):

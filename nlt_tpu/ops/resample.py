@@ -236,7 +236,7 @@ def _take_rows_planned(table, idx, routed, lo, hi, n_groups=1):
 _take_rows_planned.defvjp(_take_rows_planned_fwd, _take_rows_planned_bwd)
 
 
-def make_plan(warp, h, w):
+def make_plan(warp, h, w, zero_grad_texel=None):
     """Precompute the warp-only parts of resample() for a (h, w, C)
     source: per-example window-base rows, per-SLOT bilinear weights
     (the 4 corner weights folded onto the 2x2 window slots they clip
@@ -244,9 +244,25 @@ def make_plan(warp, h, w):
     _resample_flat performs with selects), and the backward scatter's
     routing plan.
 
+    Dead updates are dropped from the scatter plan: a query whose four
+    slot weights are all zero (fully out of bounds) contributes nothing
+    to the image gradient, so its update routes straight to the
+    kernel's dump row — and, crucially, whole chunks of such queries
+    fall outside the per-chunk scan bounds and are never visited.
+
     Args:
         warp: (N, Ho, Wo, 2) source coordinates in pixel units.
         h, w: source image height/width.
+        zero_grad_texel: optional (y, x) of a source texel whose
+            gradient the CALLER discards (the NLT model blacks out
+            (0, 0) and routes background queries there — reference:
+            nlt/models/nlt.py:107-111 — then set_left_top_corner's VJP
+            zeroes that texel's grad). Updates whose every
+            nonzero-weight slot writes to this texel are also dropped.
+            The forward output is unchanged; the backward differs only
+            in d_img[y, x], which the caller zeroes anyway. For real
+            scenes this drops the (majority) background updates and
+            removes their serialized accumulation on one table row.
 
     Returns:
         dict of per-example arrays (leading dim N, HBM-cacheable):
@@ -284,10 +300,25 @@ def make_plan(warp, h, w):
         wslot = wslot + jnp.where(
             j[..., None] == slot_ids, wgt[..., None], 0.0)
 
+    # Per-slot target texels are (by + j//2, bx + j%2). An update is
+    # dead iff every slot with nonzero weight targets a texel whose
+    # gradient is discarded: always true when all four weights vanish;
+    # with zero_grad_texel, slot j's contribution is also discardable
+    # when its target IS that texel.
+    if zero_grad_texel is not None:
+        zy, zx = zero_grad_texel
+        slot_live = jnp.stack(
+            [(wslot[..., j] != 0)
+             & ~((by + j // 2 == zy) & (bx + j % 2 == zx))
+             for j in range(4)], axis=-1)
+    else:
+        slot_live = wslot != 0
+    dead = ~jnp.any(slot_live, axis=-1)
+
     base_global = (rows + jnp.arange(n, dtype=jnp.int32)[:, None, None]
                    * (h * w))
     routed, lo, hi = scatter_pallas.make_plan(
-        base_global.reshape(-1), n * h * w, n)
+        jnp.where(dead, -1, base_global).reshape(-1), n * h * w, n)
     return {"rows": rows, "wslot": wslot,
             "routed": routed, "lo": lo, "hi": hi}
 

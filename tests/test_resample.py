@@ -171,6 +171,67 @@ def test_planned_matches_standard_values_and_grads(rng):
         rtol=1e-12, atol=1e-12)
 
 
+def test_planned_zero_grad_texel_drop(rng):
+    """A plan built with zero_grad_texel=(0, 0) (the model's corner
+    blackout) yields identical values, and identical image gradients
+    once the corner's gradient is discarded — for a warp with a real
+    background region (queries pinned to (0, 0), the NLT convention)."""
+    from nlt_tpu.ops import scatter_pallas
+    from nlt_tpu.utils.img import set_left_top_corner
+
+    n, h, w, c = 2, 16, 16, 3
+    img = jnp.asarray(rng.uniform(0, 1, (n, h, w, c)).astype(np.float32))
+    warp = (_identity_warp(h, w, n)
+            + rng.uniform(0, 1, (n, h, w, 2))).astype(np.float32)
+    warp[:, :5] = 0.0  # background rows: query exactly (0, 0)
+    warp[:, 5, :4] = -3.0  # fully out of bounds: zero weights
+    warp = jnp.asarray(warp)
+    plan = resample.make_plan(warp, h, w, zero_grad_texel=(0, 0))
+    plan_plain = resample.make_plan(warp, h, w)
+
+    img_c = set_left_top_corner(img, 0.0)
+    np.testing.assert_allclose(
+        np.asarray(resample.resample_planned(img_c, plan)),
+        np.asarray(resample.resample(img_c, warp)),
+        rtol=1e-6, atol=1e-6)
+
+    # Background queries must actually be dropped from the routing
+    # (routed to the dump row), unlike the plain plan.
+    n_live = int(np.sum(np.asarray(plan["lo"]) < np.asarray(plan["hi"])))
+    n_live_plain = int(np.sum(
+        np.asarray(plan_plain["lo"]) < np.asarray(plan_plain["hi"])))
+    assert n_live <= n_live_plain
+
+    g = jnp.asarray(rng.uniform(-1, 1, (n, h, w, c)).astype(np.float32))
+
+    def loss(im, pl):
+        warped = resample.resample_planned(
+            set_left_top_corner(im, 0.0), pl)
+        return jnp.sum(warped * g)
+
+    def forced(n_groups, res, grads):
+        _, routed, lo, hi, n_rows = res
+        return (scatter_pallas.scatter_add_rows_planned(
+            routed, lo, hi, grads, n_rows, n_groups),
+            None, None, None, None)
+
+    grad_ref = jax.grad(
+        lambda im: jnp.sum(
+            resample.resample(set_left_top_corner(im, 0.0), warp) * g)
+    )(img)
+    orig = resample._take_rows_planned_bwd
+    resample._take_rows_planned.defvjp(
+        resample._take_rows_planned_fwd, forced)
+    try:
+        grad_dropped = jax.grad(loss)(img, plan)
+    finally:
+        resample._take_rows_planned.defvjp(
+            resample._take_rows_planned_fwd, orig)
+    np.testing.assert_allclose(
+        np.asarray(grad_dropped), np.asarray(grad_ref),
+        rtol=1e-5, atol=1e-6)
+
+
 def test_planned_kernel_route_matches_fallback(rng, monkeypatch):
     """Force the planned VJP through the Pallas kernel (interpret mode
     on CPU) and check gradients equal the XLA-scatter fallback."""

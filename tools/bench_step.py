@@ -35,6 +35,7 @@ def main():
     p.add_argument("--res", type=int, default=512)
     p.add_argument("--depth", type=int, default=256)
     p.add_argument("--bs", type=int, default=4)
+    p.add_argument("--coverage", type=float, default=1.0)
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--reps", type=int, default=5)
     p.add_argument("--losses", type=str, nargs="+",
@@ -53,7 +54,8 @@ def main():
 
     _enable_compile_cache()
 
-    batch = _make_batch(args.bs, args.res, args.res)
+    batch = _make_batch(args.bs, args.res, args.res,
+                        coverage=args.coverage)
     batch = {k: jax.device_put(np.asarray(v)) for k, v in batch.items()}
 
     for loss in args.losses:

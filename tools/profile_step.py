@@ -85,6 +85,7 @@ def main():
     p.add_argument("--res", type=int, default=512)
     p.add_argument("--depth", type=int, default=256)
     p.add_argument("--bs", type=int, default=4)
+    p.add_argument("--coverage", type=float, default=1.0)
     p.add_argument("--loss", type=str, default="barron,1e+0lpips")
     p.add_argument("--steps", type=int, default=5)
     p.add_argument("--tracedir", type=str, default="/tmp/nlt_tpu_profile")
@@ -108,7 +109,8 @@ def main():
     step = train_mod.make_train_step(model, tx, with_vis=False,
                                      cached_statics=args.cached)
     batch = {k: jax.device_put(np.asarray(v))
-             for k, v in _make_batch(args.bs, args.res, args.res).items()}
+             for k, v in _make_batch(args.bs, args.res, args.res,
+                          coverage=args.coverage).items()}
     if args.cached:
         extract = train_mod.make_static_extractor(model)
         statics = extract(state["params"], batch)
