@@ -38,7 +38,21 @@ Layer = collections.namedtuple("Layer", ["init", "apply", "name"])
 
 # k==s convs can run as space-to-depth + matmul or as direct XLA convs.
 # Flag for A/B timing (NLT_TPU_S2D=0 disables the matmul path).
+# NLT_TPU_S2D_MIN_CH routes thin-channel layers (in_ch below the
+# threshold) to the direct conv. Measured on the cached flagship step
+# (v5e, honest slope timing): MIN_CH=64 and S2D=0 both land at ~63
+# ms/step vs 42 for the full einsum path — XLA's native conv lowering
+# loses even on the thin high-res layers despite the einsum path's
+# relayout copies. The knob stays for future re-measurement only.
 _S2D_FASTPATH = os.environ.get("NLT_TPU_S2D", "1") != "0"
+_S2D_MIN_CH = int(os.environ.get("NLT_TPU_S2D_MIN_CH", "0"))
+# Stride-1 small-kernel convs as a sum of shifted matmuls (one per
+# tap): the shifts are layout-preserving pad+slice, so the matmuls
+# chain with the neighboring k==s einsum matmuls without the layout
+# round trips XLA's native conv lowering forces (NLT_TPU_S1MM=0
+# restores lax.conv for A/B timing).
+_S1_MATMUL = os.environ.get("NLT_TPU_S1MM", "1") != "0"
+_S1_MAX_KERNEL = 3
 
 
 def _glorot_uniform(key, shape, dtype=jnp.float32):
@@ -47,6 +61,36 @@ def _glorot_uniform(key, shape, dtype=jnp.float32):
     fan_out = shape[0] * shape[1] * shape[3]
     limit = np.sqrt(6.0 / (fan_in + fan_out))
     return jax.random.uniform(key, shape, dtype, -limit, limit)
+
+
+def _shift_matmul_conv(x, w, flip=False, transpose_pad=False):
+    """SAME stride-1 conv as a sum of per-tap shifted matmuls.
+
+    x: (N, H, W, C); w: (k, k, C, O) HWIO. SAME padding for stride 1
+    pads (k-1)//2 before and k-1-(k-1)//2 after each spatial dim (TF
+    convention). With transpose_pad the before/after split is swapped —
+    combined with flip=True this is exactly the transpose of that SAME
+    conv, i.e. Conv2DTranspose(stride=1).
+    """
+    n, h, wd, c = x.shape
+    k = w.shape[0]
+    beg = (k - 1) // 2
+    end = k - 1 - beg
+    if transpose_pad:
+        beg, end = end, beg
+    xp = jnp.pad(x, ((0, 0), (beg, end), (beg, end), (0, 0)))
+    if flip:
+        w = w[::-1, ::-1]
+    y = None
+    for di in range(k):
+        for dj in range(k):
+            part = jnp.einsum(
+                "nhwc,co->nhwo",
+                jax.lax.slice(xp, (0, di, dj, 0),
+                              (n, di + h, dj + wd, c)),
+                w[di, dj], preferred_element_type=jnp.float32)
+            y = part if y is None else y + part
+    return y
 
 
 def conv(kernel_size, n_ch_out, stride=1):
@@ -61,7 +105,7 @@ def conv(kernel_size, n_ch_out, stride=1):
         b = params["b"].astype(x.dtype)
         k = kernel_size
         if (_S2D_FASTPATH and k == stride and x.shape[1] % k == 0
-                and x.shape[2] % k == 0):
+                and x.shape[2] % k == 0 and x.shape[3] >= _S2D_MIN_CH):
             # Space-to-depth + matmul: exact SAME conv when k == s.
             # The contraction runs on the 6-D view directly — no
             # materialized transpose; XLA folds the (k, q, c) layout
@@ -74,6 +118,8 @@ def conv(kernel_size, n_ch_out, stride=1):
                 "nhkwqc,kqco->nhwo", patches,
                 w.reshape(k, k, c, n_ch_out),
                 preferred_element_type=jnp.float32).astype(x.dtype)
+        elif (_S1_MATMUL and stride == 1 and 1 < k <= _S1_MAX_KERNEL):
+            y = _shift_matmul_conv(x, w).astype(x.dtype)
         else:
             y = jax.lax.conv_general_dilated(
                 x, w, window_strides=(stride, stride), padding="SAME",
@@ -96,7 +142,7 @@ def deconv(kernel_size, n_ch_out, stride=1):
         w = params["w"].astype(x.dtype)
         b = params["b"].astype(x.dtype)
         k = kernel_size
-        if _S2D_FASTPATH and k == stride:
+        if _S2D_FASTPATH and k == stride and x.shape[3] >= _S2D_MIN_CH:
             # Matmul + depth-to-space: each input pixel emits a k x k
             # block. The einsum emits (n, h, k, w, q, o) directly so the
             # depth-to-space is a pure reshape, no transpose copy.
@@ -106,6 +152,14 @@ def deconv(kernel_size, n_ch_out, stride=1):
                 w.transpose(2, 0, 1, 3),
                 preferred_element_type=jnp.float32).astype(x.dtype)
             y = y.reshape(n, h * k, wd * k, n_ch_out)
+        elif (_S1_MATMUL and stride == 1 and 1 < k <= _S1_MAX_KERNEL):
+            # Conv2DTranspose(stride=1) is the transpose of the SAME
+            # stride-1 conv: correlation with the spatially flipped
+            # kernel and the before/after padding split swapped
+            # (verified elementwise against lax.conv_transpose for
+            # k in {2, 3}; for odd k the splits coincide).
+            y = _shift_matmul_conv(
+                x, w, flip=True, transpose_pad=True).astype(x.dtype)
         else:
             # TF Conv2DTranspose is the gradient of a forward conv, which
             # equals lax.conv_transpose with the kernel spatially flipped.

@@ -40,6 +40,44 @@ def test_deconv_fast_path_matches_xla(rng):
     np.testing.assert_allclose(got, expect, atol=1e-5)
 
 
+@pytest.mark.parametrize("k", [2, 3])
+def test_stride1_shift_matmul_matches_xla(rng, k):
+    """Stride-1 convs/deconvs run as sums of shifted matmuls: values AND
+    gradients must equal the XLA conv/conv_transpose lowering."""
+    key = jax.random.PRNGKey(7)
+    x = jnp.asarray(rng.standard_normal((2, 9, 11, 5)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((2, 9, 11, 6)).astype(np.float32))
+
+    layer = elements.conv(k, 6, stride=1)
+    params, _ = layer.init(key, 5)
+    expect = jax.lax.conv_general_dilated(
+        x, params["w"], window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + params["b"]
+    np.testing.assert_allclose(layer.apply(params, x), expect, atol=1e-5)
+
+    def loss(fn, p, x):
+        return jnp.sum(fn(p, x) * g)
+
+    gp, gx = jax.grad(
+        lambda p, xx: loss(layer.apply, p, xx), argnums=(0, 1))(params, x)
+    gp_r, gx_r = jax.grad(
+        lambda p, xx: loss(
+            lambda pp, xxx: jax.lax.conv_general_dilated(
+                xxx, pp["w"], window_strides=(1, 1), padding="SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC")) + pp["b"],
+            p, xx), argnums=(0, 1))(params, x)
+    np.testing.assert_allclose(gx, gx_r, atol=1e-4)
+    np.testing.assert_allclose(gp["w"], gp_r["w"], atol=1e-4)
+
+    dlayer = elements.deconv(k, 6, stride=1)
+    dparams, _ = dlayer.init(key, 5)
+    dexpect = jax.lax.conv_transpose(
+        x, dparams["w"][::-1, ::-1], strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + dparams["b"]
+    np.testing.assert_allclose(
+        dlayer.apply(dparams, x), dexpect, atol=1e-5)
+
+
 def test_conv_same_padding_odd_kernel(rng):
     layer = elements.conv(3, 4, stride=1)
     params, _ = layer.init(jax.random.PRNGKey(2), 3)

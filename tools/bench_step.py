@@ -36,6 +36,7 @@ def main():
     p.add_argument("--depth", type=int, default=256)
     p.add_argument("--bs", type=int, default=4)
     p.add_argument("--coverage", type=float, default=1.0)
+    p.add_argument("--compute_dtype", type=str, default="float32")
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--reps", type=int, default=5)
     p.add_argument("--losses", type=str, nargs="+",
@@ -60,7 +61,8 @@ def main():
 
     for loss in args.losses:
         model = _make_model(args.res, args.res, args.depth, args.bs,
-                            loss=loss)
+                            loss=loss,
+                            compute_dtype=args.compute_dtype)
         if args.lpips_max_res is not None:
             for _, term in model.wloss:
                 if hasattr(term, "max_res"):
