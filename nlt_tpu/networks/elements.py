@@ -53,6 +53,14 @@ _S2D_MIN_CH = int(os.environ.get("NLT_TPU_S2D_MIN_CH", "0"))
 # restores lax.conv for A/B timing).
 _S1_MATMUL = os.environ.get("NLT_TPU_S1MM", "1") != "0"
 _S1_MAX_KERNEL = 3
+# k==s convs: tap-split matmuls (one plain (NHW, C)x(C, O) matmul per
+# kernel tap over single-index slices of the k-split view) instead of
+# the one 6-D einsum whose (k, q, c)-contiguous operand forces a
+# T(2,128) relayout of the whole activation. Measured a wash on the
+# cached flagship step (33.6 vs 33.8 ms — the tap slices relayout
+# roughly what the einsum operand did), so the single einsum stays
+# default; the flag remains for re-measurement on other shapes.
+_S2_TAPMM = os.environ.get("NLT_TPU_S2TAP", "0") != "0"
 
 
 def _glorot_uniform(key, shape, dtype=jnp.float32):
@@ -114,10 +122,22 @@ def conv(kernel_size, n_ch_out, stride=1):
             patches = x.reshape(n, h // k, k, wd // k, k, c)
             # Accumulate in f32 on the MXU regardless of activation
             # dtype (bf16 accumulation falls off the fast path).
-            y = jnp.einsum(
-                "nhkwqc,kqco->nhwo", patches,
-                w.reshape(k, k, c, n_ch_out),
-                preferred_element_type=jnp.float32).astype(x.dtype)
+            if _S2_TAPMM:
+                wk = w.reshape(k, k, c, n_ch_out)
+                y = None
+                for di in range(k):
+                    for dj in range(k):
+                        part = jnp.einsum(
+                            "nhwc,co->nhwo", patches[:, :, di, :, dj, :],
+                            wk[di, dj],
+                            preferred_element_type=jnp.float32)
+                        y = part if y is None else y + part
+                y = y.astype(x.dtype)
+            else:
+                y = jnp.einsum(
+                    "nhkwqc,kqco->nhwo", patches,
+                    w.reshape(k, k, c, n_ch_out),
+                    preferred_element_type=jnp.float32).astype(x.dtype)
         elif (_S1_MATMUL and stride == 1 and 1 < k <= _S1_MAX_KERNEL):
             y = _shift_matmul_conv(x, w).astype(x.dtype)
         else:

@@ -52,6 +52,12 @@ _PIECE = 131072
 # Updates per chunk: idx chunk 32 KB SMEM, upd window ~4.2 MB VMEM
 # (double-buffered by Mosaic).
 _CHUNK = 8192
+# Scan-bound subchunks per chunk: the [lo, hi) skip spans are kept at
+# _CHUNK/_SUB granularity (one 512-query scanline at 512^2), so dead
+# runs INSIDE a live chunk — e.g. the background left/right of a
+# foreground scanline segment — are skipped too, at zero extra grid
+# cost (the kernel unrolls _SUB bounded loops per invocation).
+_SUB = 16
 _VMEM_LIMIT = 110 * 1024 * 1024
 
 
@@ -71,15 +77,15 @@ def _kernel(idx_ref, lo_ref, hi_ref, upd_ref, out_ref, table, sem, *,
             table[pl.ds(r, 1), 0:w] + upd_ref[0, pl.ds(i, 1), :])
         return 0
 
-    # Only scan [lo, hi): the caller pre-computes, per (group, piece,
-    # chunk), the first/last update position that hits this piece.
-    # Updates are in output-scanline order, so for coherent warps each
-    # piece's hits are a contiguous run — the other pieces' updates
-    # (which would all route to the dump row) are skipped instead of
-    # scanned, turning the grid's updates-x-pieces scan into ~one pass
-    # over the updates.
-    j = (n * pl.num_programs(1) + h) * chunks_per_group + c
-    jax.lax.fori_loop(lo_ref[j], hi_ref[j], body, 0)
+    # Only scan [lo, hi) per subchunk: the caller pre-computes, per
+    # (group, piece, chunk, subchunk), the first/last update position
+    # that hits this piece. Updates are in output-scanline order, so
+    # for coherent warps each piece's hits per scanline are a
+    # contiguous run — other pieces' updates and gradient-dead
+    # (background) runs are skipped instead of scanned.
+    j = ((n * pl.num_programs(1) + h) * chunks_per_group + c) * _SUB
+    for s in range(_SUB):
+        jax.lax.fori_loop(lo_ref[j + s], hi_ref[j + s], body, 0)
 
     @pl.when(c == chunks_per_group - 1)
     def _():
@@ -152,15 +158,16 @@ def make_plan(idx, n_rows, n_groups=1):
     hit = jnp.logical_and(rel >= 0, rel < piece)
     routed = jnp.where(hit, rel, piece).astype(jnp.int32)
 
-    # Per-(group, piece, chunk) loop bounds: the [lo, hi) span of hit
-    # positions within the chunk (empty chunks get lo=chunk > hi=0, a
-    # zero-iteration loop).
-    hit4 = hit.reshape(n_groups, pieces_per_group,
-                       chunks_per_group, _CHUNK)
-    pos = jnp.arange(_CHUNK, dtype=jnp.int32)
-    lo = jnp.min(jnp.where(hit4, pos, _CHUNK),
+    # Per-(group, piece, chunk, subchunk) loop bounds: the [lo, hi)
+    # span of hit positions (chunk-local) within each _CHUNK/_SUB
+    # subchunk (empty subchunks get lo > hi, a zero-iteration loop).
+    sub_len = _CHUNK // _SUB
+    hit5 = hit.reshape(n_groups, pieces_per_group,
+                       chunks_per_group, _SUB, sub_len)
+    pos = jnp.arange(_CHUNK, dtype=jnp.int32).reshape(_SUB, sub_len)
+    lo = jnp.min(jnp.where(hit5, pos, _CHUNK),
                  axis=-1).astype(jnp.int32)
-    hi = jnp.max(jnp.where(hit4, pos + 1, 0),
+    hi = jnp.max(jnp.where(hit5, pos + 1, 0),
                  axis=-1).astype(jnp.int32)
     return routed, lo, hi
 
@@ -190,7 +197,7 @@ def _scatter_planned_local(routed, lo, hi, upd, group_rows):
         _kernel, piece=piece, chunk=_CHUNK,
         chunks_per_group=chunks_per_group, w=w)
     n_pieces_total = n_groups * pieces_per_group
-    n_bounds = n_pieces_total * chunks_per_group
+    n_bounds = n_pieces_total * chunks_per_group * _SUB
     out = pl.pallas_call(
         kernel,
         grid=(n_groups, pieces_per_group, chunks_per_group),
@@ -413,9 +420,10 @@ def _get_scatter_planned_cp(rows_g):
     _scatter_planned_cp.def_partition(
         partition=_partition_planned,
         infer_sharding_from_operands=_infer_sharding_planned,
-        # routed's last dim (padded updates) and lo/hi's (chunks) are
-        # distinct factors from upd's r: name them separately.
-        sharding_rule="g p q, g p c, g p c, g r w -> g m w")
+        # routed's last dim (padded updates) and lo/hi's
+        # (chunks, subchunks) are distinct factors from upd's r: name
+        # them separately.
+        sharding_rule="g p q, g p c s, g p c s, g r w -> g m w")
     return _scatter_planned_cp
 
 
