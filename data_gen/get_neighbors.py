@@ -5,8 +5,14 @@ data_gen/get_neighbors.py:52-102): Euclidean distance on 'position',
 excluding self; outputs neighbors/cams.json and neighbors/lights.json
 mapping every (physical or virtual) name to its nearest *physical* name.
 
+Extension over the reference: --k > 1 additionally writes
+cams_k.json / lights_k.json mapping every name to its k nearest
+physical names (ordered), consumed by render.py to embed a "cams"/
+"lights" list in each config's nn.json for multi-observation training
+(datasets/nlt.py n_obs).
+
 Run:  python data_gen/get_neighbors.py --cam_dir=... --light_dir=...
-          --test_cam_dir=... --test_light_dir=... --outdir=...
+          --test_cam_dir=... --test_light_dir=... --outdir=... [--k=4]
 """
 
 import argparse
@@ -27,6 +33,8 @@ parser.add_argument("--test_cam_dir", type=str, default=None,
 parser.add_argument("--test_light_dir", type=str, default=None,
                     help="directory of virtual (test) light JSONs")
 parser.add_argument("--outdir", type=str, required=True)
+parser.add_argument("--k", type=int, default=1,
+                    help="also write the k-nearest lists when > 1")
 
 
 def _load_positions(dir_):
@@ -40,9 +48,10 @@ def _load_positions(dir_):
     return pos
 
 
-def get_neighbors(physical, queries=None):
-    """For each query name, the nearest physical name (excluding an
-    identical name)."""
+def get_neighbors(physical, queries=None, k=1):
+    """For each query name, the k nearest physical names (excluding an
+    identical name) — a single name when k == 1 (the reference
+    contract), else an ordered list."""
     if queries is None:
         queries = physical
     names = list(physical.keys())
@@ -50,10 +59,8 @@ def get_neighbors(physical, queries=None):
     nn = {}
     for qname, qpos in queries.items():
         d = np.linalg.norm(mat - qpos[None], axis=1)
-        for i in np.argsort(d):
-            if names[i] != qname:
-                nn[qname] = names[i]
-                break
+        nearest = [names[i] for i in np.argsort(d) if names[i] != qname]
+        nn[qname] = nearest[0] if k == 1 else nearest[:k]
     return nn
 
 
@@ -70,6 +77,13 @@ def main(args):
 
     dump_json(cam_nn, os.path.join(args.outdir, "cams.json"))
     dump_json(light_nn, os.path.join(args.outdir, "lights.json"))
+    if args.k > 1:
+        cam_k = get_neighbors(cams, k=args.k)
+        cam_k.update(get_neighbors(cams, test_cams, k=args.k))
+        light_k = get_neighbors(lights, k=args.k)
+        light_k.update(get_neighbors(lights, test_lights, k=args.k))
+        dump_json(cam_k, os.path.join(args.outdir, "cams_k.json"))
+        dump_json(light_k, os.path.join(args.outdir, "lights_k.json"))
     print("Wrote neighbors to %s" % args.outdir)
 
 

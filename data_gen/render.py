@@ -27,7 +27,7 @@ import argparse
 import os
 import pickle
 import sys
-from os.path import basename, join
+from os.path import basename, exists, join
 from shutil import copyfile
 
 import numpy as np
@@ -248,9 +248,15 @@ def main(args):
     light_nn = load_json(args.light_nn_json)
     cam_name = basename(args.cam_json)[:-len(".json")]
     light_name = basename(args.light_json)[:-len(".json")]
-    dump_json(
-        {"cam": cam_nn[cam_name], "light": light_nn[light_name]},
-        join(args.outdir, "nn.json"))
+    nn = {"cam": cam_nn[cam_name], "light": light_nn[light_name]}
+    # Optional k-nearest lists (get_neighbors.py --k): enables
+    # multi-observation training (datasets/nlt.py n_obs > 1).
+    cam_k_path = args.cam_nn_json.replace(".json", "_k.json")
+    light_k_path = args.light_nn_json.replace(".json", "_k.json")
+    if exists(cam_k_path) and exists(light_k_path):
+        nn["cams"] = load_json(cam_k_path)[cam_name]
+        nn["lights"] = load_json(light_k_path)[light_name]
+    dump_json(nn, join(args.outdir, "nn.json"))
     print("Rendered ->", args.outdir)
 
 

@@ -299,16 +299,16 @@ def main(args):
         {**lights[0], "name": "L%03dV" % i, "position": p.tolist()}
         for i, p in enumerate(test_light_pts)]
 
-    def nearest(pts_named, query_pos, exclude=None):
-        best, best_d = None, np.inf
-        for item in pts_named:
-            if item["name"] == exclude:
-                continue
-            d = np.linalg.norm(
-                np.asarray(item["position"]) - np.asarray(query_pos))
-            if d < best_d:
-                best, best_d = item["name"], d
-        return best
+    def nearest(pts_named, query_pos, exclude=None, k=None):
+        """Nearest physical name, or the ordered k-nearest list."""
+        scored = sorted(
+            (np.linalg.norm(np.asarray(item["position"])
+                            - np.asarray(query_pos)), item["name"])
+            for item in pts_named if item["name"] != exclude)
+        names = [name for _, name in scored]
+        if k is None:
+            return names[0] if names else None
+        return names[:k]
 
     # trainvali: full cam x light product
     # (reference: gen_render_params_expects.py:112-121).
@@ -321,6 +321,12 @@ def main(args):
                 "cam": nearest(cams, cam["position"], exclude=cam["name"]),
                 "light": nearest(
                     lights, light["position"], exclude=light["name"]),
+                # k-nearest lists for multi-observation training
+                # (datasets/nlt.py n_obs > 1).
+                "cams": nearest(cams, cam["position"],
+                                exclude=cam["name"], k=4),
+                "lights": nearest(lights, light["position"],
+                                  exclude=light["name"], k=4),
             }
             jobs.append((id_, cam, light, nn))
             i += 1
@@ -332,6 +338,8 @@ def main(args):
         nn = {
             "cam": nearest(cams, cam["position"]),
             "light": nearest(lights, light["position"]),
+            "cams": nearest(cams, cam["position"], k=4),
+            "lights": nearest(lights, light["position"], k=4),
         }
         jobs.append((id_, cam, light, nn))
 

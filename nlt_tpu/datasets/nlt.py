@@ -20,6 +20,12 @@ Behavior kept:
 - the nearest neighbor is looked up from nn.json via a regex over IDs
   (:88-100); missing neighbors yield zero placeholders so training
   proceeds (:152-157);
+- n_obs > 1 (no reference counterpart: the reference loads exactly one
+  neighbor) loads the k nearest observations from nn.json's optional
+  "cams"/"lights" lists (data_gen get_neighbors --k / synthesize) and
+  stacks nn_base/nn_rgb/nn_rgb_camspc with a leading obs axis
+  (K, H, W, C); the model mean-aggregates the per-observation features
+  exactly as the reference's obs list path does;
 - images are normalized uint->[0,1], resized to (uvh, uvh) / (imh, imw);
   the warp field is NEVER resized — warp first, resize after
   (:140-148);
@@ -73,6 +79,8 @@ class Dataset(BaseDataset):
                     "Duplicate example ID %r" % key)
                 self.data_paths[key] = paths
         self.device_normalize = config.get_bool("device_normalize", False)
+        self.n_obs = config.get_int("n_obs", 1)
+        assert self.n_obs >= 1, "n_obs must be >= 1"
         super().__init__(config, mode, **kwargs)
 
     def _glob(self):
@@ -107,6 +115,21 @@ class Dataset(BaseDataset):
             "Number of '%s' camera-light combinations: %d",
             self.mode, len(ids_split))
         return ids_split
+
+    def _nn_pairs(self, nn):
+        """The n_obs neighbor (cam, light) configs to observe: the j-th
+        nearest cam paired with the j-th nearest light, from nn.json's
+        optional "cams"/"lights" lists. Requests past the available
+        lists clamp to the last entry (a duplicated real observation —
+        the mean aggregation stays unbiased toward zeros)."""
+        if self.n_obs == 1:
+            return [{"cam": nn["cam"], "light": nn["light"]}]
+        cams = nn.get("cams") or [nn["cam"]]
+        lights = nn.get("lights") or [nn["light"]]
+        return [
+            {"cam": cams[min(j, len(cams) - 1)],
+             "light": lights[min(j, len(lights) - 1)]}
+            for j in range(self.n_obs)]
 
     def _get_nn_id(self, nn, scene_prefix=""):
         """Resolve nn.json's {cam, light} to a trainvali ID, within the
@@ -165,15 +188,20 @@ class Dataset(BaseDataset):
 
         nn = ioutil.read_json(paths["nn"])
         scene_prefix = id_.rsplit("/", 1)[0] + "/" if "/" in id_ else ""
-        nn_id = self._get_nn_id(nn, scene_prefix=scene_prefix)
-        if nn_id is not None:
-            nn_paths = self.data_paths[nn_id]
-            f_nn_base = submit(
-                self._load_png, nn_paths["diffuse"], uvh, None, 3)
-            f_nn_rgb = submit(
-                self._load_png, nn_paths["rgb"], uvh, None, 3)
-            f_nn_rgb_cam = submit(
-                self._load_png, nn_paths["rgb_camspc"], imh, imw, 3)
+        nn_ids = [self._get_nn_id(p, scene_prefix=scene_prefix)
+                  for p in self._nn_pairs(nn)]
+        nn_id = nn_ids[0]
+        nn_futures = []
+        for nid in nn_ids:
+            if nid is None:
+                nn_futures.append(None)
+                continue
+            nn_paths = self.data_paths[nid]
+            nn_futures.append((
+                submit(self._load_png, nn_paths["diffuse"], uvh, None, 3),
+                submit(self._load_png, nn_paths["rgb"], uvh, None, 3),
+                submit(self._load_png, nn_paths["rgb_camspc"],
+                       imh, imw, 3)))
 
         base = f_base.result()
         cvis = f_cvis.result()
@@ -185,15 +213,33 @@ class Dataset(BaseDataset):
         else:
             rgb = f_rgb.result()
             rgb_camspc = f_rgb_cam.result()
+        nn_bases, nn_rgbs, nn_rgb_camspcs = [], [], []
+        for nid, futs in zip(nn_ids, nn_futures):
+            if futs is None:
+                # Missing neighbor: zero placeholders, training proceeds
+                # (reference: nlt/datasets/nlt.py:152-157).
+                nn_bases.append(np.zeros_like(base))
+                nn_rgbs.append(np.zeros_like(rgb))
+                nn_rgb_camspcs.append(np.zeros_like(rgb_camspc))
+            else:
+                nn_bases.append(futs[0].result())
+                nn_rgbs.append(futs[1].result())
+                nn_rgb_camspcs.append(futs[2].result())
         if nn_id is None:
             nn_id = "incomplete-data_{cam}_{light}".format(**nn)
-            nn_base = np.zeros_like(base)
-            nn_rgb = np.zeros_like(rgb)
-            nn_rgb_camspc = np.zeros_like(rgb_camspc)
+        if self.n_obs == 1:
+            # Legacy single-observation contract: unstacked (H, W, C).
+            nn_base, = nn_bases
+            nn_rgb, = nn_rgbs
+            nn_rgb_camspc, = nn_rgb_camspcs
         else:
-            nn_base = f_nn_base.result()
-            nn_rgb = f_nn_rgb.result()
-            nn_rgb_camspc = f_nn_rgb_cam.result()
+            nn_id = ";".join(
+                nid if nid is not None
+                else "incomplete-data_{cam}_{light}".format(**nn)
+                for nid in nn_ids)
+            nn_base = np.stack(nn_bases)
+            nn_rgb = np.stack(nn_rgbs)
+            nn_rgb_camspc = np.stack(nn_rgb_camspcs)
 
         if self.device_normalize:
             img = lambda x: np.ascontiguousarray(x)  # noqa: E731 (uint8)

@@ -68,10 +68,13 @@ def replicated(mesh):
     return NamedSharding(mesh, P())
 
 
-def batch_spec(mesh, field, tile_spatial=False):
+def batch_spec(mesh, field, tile_spatial=False, ndim=4):
     """PartitionSpec for one batch field: batch dim on 'data', optionally
-    image rows on 'tile'."""
+    image rows on 'tile'. Multi-observation fields (N, K, H, W, C) keep
+    the obs axis unsharded so rows land on 'tile' as for 4-D fields."""
     if tile_spatial and field in _SPATIAL_FIELDS:
+        if ndim == 5:
+            return NamedSharding(mesh, P("data", None, "tile"))
         return NamedSharding(mesh, P("data", "tile"))
     return NamedSharding(mesh, P("data"))
 
@@ -79,7 +82,7 @@ def batch_spec(mesh, field, tile_spatial=False):
 def batch_shardings(mesh, batch, tile_spatial=False):
     """Sharding tree matching the array fields of a batch dict."""
     return {
-        k: batch_spec(mesh, k, tile_spatial)
+        k: batch_spec(mesh, k, tile_spatial, ndim=getattr(v, "ndim", 4))
         for k, v in batch.items() if not isinstance(v, list)}
 
 
@@ -100,7 +103,7 @@ def shard_batch(mesh, batch, tile_spatial=False):
             out[k] = jax.device_put(v, replicated(mesh))
         else:
             out[k] = jax.device_put(
-                v, batch_spec(mesh, k, tile_spatial))
+                v, batch_spec(mesh, k, tile_spatial, ndim=v.ndim))
     return out
 
 
@@ -134,6 +137,6 @@ def make_global_batch(mesh, local_batch, tile_spatial=False):
         if isinstance(v, list):
             out[k] = v
         else:
-            sharding = batch_spec(mesh, k, tile_spatial)
+            sharding = batch_spec(mesh, k, tile_spatial, ndim=v.ndim)
             out[k] = jax.make_array_from_process_local_data(sharding, v)
     return out

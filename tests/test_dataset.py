@@ -90,6 +90,80 @@ def test_load_item_contract(scene_root):
             assert np.all(np.isfinite(v))
 
 
+def test_multi_observation_loading(scene_root):
+    """n_obs > 1 loads the k nearest observations (nn.json 'cams'/
+    'lights' lists) stacked on a leading obs axis; obs 0 equals the
+    legacy single-neighbor load."""
+    ds1 = get_dataset_class("nlt")(scene_config(scene_root), "train")
+    ds2 = get_dataset_class("nlt")(scene_config(scene_root, n_obs=2),
+                                   "train")
+    id_ = sorted(ds1.files)[0]
+    one = ds1._load_item(id_)
+    two = ds2._load_item(id_)
+    assert two["nn_base"].shape == (2, 32, 32, 3)
+    assert two["nn_rgb"].shape == (2, 32, 32, 3)
+    assert two["nn_rgb_camspc"].shape == (2, 32, 32, 3)
+    np.testing.assert_array_equal(two["nn_base"][0], one["nn_base"])
+    np.testing.assert_array_equal(two["nn_rgb"][0], one["nn_rgb"])
+    ids = two["nn_id"].split(";")
+    assert len(ids) == 2 and ids[0] == one["nn_id"]
+    # The 2nd observation is a different real config (9 trainvali
+    # configs exist, so the 2-NN list never clamps here).
+    assert ids[1] != ids[0] and ids[1].startswith("trainvali_")
+    assert not np.array_equal(two["nn_rgb"][1], two["nn_rgb"][0])
+
+    # Pipeline collation stacks the obs axis after the batch axis.
+    b = next(iter(ds2.iterate(seed=0)))
+    assert b["nn_rgb"].shape == (2, 2, 32, 32, 3)
+
+
+def test_multi_observation_model_forward(scene_root):
+    """The model consumes stacked observations; with K identical
+    observations the prediction equals the single-observation one
+    (mean aggregation), and gradients flow."""
+    import jax
+    import jax.numpy as jnp
+
+    from nlt_tpu.models import get_model_class
+
+    cfg = scene_config(scene_root, n_obs=2)
+    ds = get_dataset_class("nlt")(cfg, "train")
+    model = get_model_class("nlt")(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    batch = next(iter(ds.iterate(seed=0)))
+    batch_arr = {k: jnp.asarray(v) for k, v in batch.items()
+                 if not isinstance(v, list)}
+
+    pred, gt, kwargs, _ = model.apply(params, batch_arr, "train")
+    assert pred.shape == (2, 32, 32, 3)
+    assert np.all(np.isfinite(np.asarray(pred)))
+
+    # K duplicated observations == the single-observation path.
+    dup = dict(batch_arr)
+    dup["nn_base"] = jnp.stack([batch_arr["nn_base"][:, 0]] * 2, axis=1)
+    dup["nn_rgb"] = jnp.stack([batch_arr["nn_rgb"][:, 0]] * 2, axis=1)
+    single = dict(batch_arr)
+    single["nn_base"] = batch_arr["nn_base"][:, 0]
+    single["nn_rgb"] = batch_arr["nn_rgb"][:, 0]
+    single["nn_rgb_camspc"] = batch_arr["nn_rgb_camspc"][:, 0]
+    pred_dup, *_ = model.apply(params, dup, "train")
+    pred_single, *_ = model.apply(params, single, "train")
+    np.testing.assert_allclose(
+        np.asarray(pred_dup), np.asarray(pred_single),
+        rtol=1e-5, atol=1e-5)
+
+    def loss_fn(p):
+        pred, gt, kw, _ = model.apply(p, batch_arr, "train")
+        kw["keep_batch"] = True
+        return jnp.mean(model.compute_loss(p, pred, gt, **kw))
+
+    grads = jax.grad(loss_fn)(params)
+    gnorm = jnp.sqrt(sum(
+        jnp.sum(jnp.square(g))
+        for g in jax.tree_util.tree_leaves(grads)))
+    assert np.isfinite(float(gnorm)) and float(gnorm) > 0
+
+
 def test_warp_range_and_background(scene_root):
     ds = get_dataset_class("nlt")(scene_config(scene_root), "train")
     item = ds._load_item(sorted(ds.files)[0])

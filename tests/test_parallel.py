@@ -110,6 +110,33 @@ def test_texel_tile_sharded_step(rng):
     np.testing.assert_allclose(float(loss1), float(loss_t), rtol=1e-4)
 
 
+def test_multi_observation_tile_sharded_step(rng):
+    """Multi-observation batches (5-D nn fields) shard rows on 'tile'
+    with the obs axis intact; loss matches the unsharded run."""
+    model = get_model_class("nlt")(small_config())
+    tx = train_mod.make_optimizer(1e-3)
+    batch = make_batch(rng)
+    k_obs = 2
+    for f in ("nn_base", "nn_rgb", "nn_rgb_camspc"):
+        batch[f] = np.stack(
+            [batch[f], np.roll(batch[f], 1, axis=0)], axis=1)
+        assert batch[f].shape[1] == k_obs
+
+    state1 = train_mod.init_state(model, tx, jax.random.PRNGKey(0))
+    step1 = train_mod.make_train_step(model, tx)
+    arrays = {k: jnp.asarray(v) for k, v in batch.items()}
+    _, loss1, _ = step1(state1, arrays)
+
+    mesh = mesh_mod.make_mesh(n_tile=4)
+    state = train_mod.init_state(model, tx, jax.random.PRNGKey(0))
+    state = jax.device_put(state, mesh_mod.replicated(mesh))
+    step = train_mod.make_train_step(
+        model, tx, mesh=mesh, tile_spatial=True)
+    sharded = mesh_mod.shard_batch(mesh, batch, tile_spatial=True)
+    _, loss_t, _ = step(state, sharded)
+    np.testing.assert_allclose(float(loss1), float(loss_t), rtol=1e-4)
+
+
 def test_eval_step_sharded(rng):
     model = get_model_class("nlt")(small_config())
     tx = train_mod.make_optimizer(1e-3)
