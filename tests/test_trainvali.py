@@ -146,6 +146,20 @@ def test_nlt_test_inference(trained):
     assert md["id"].startswith("test_")
 
 
+def test_trainvali_multi_observation(tmp_path, scene_root):
+    """Full driver run with n_obs=2: stacked neighbor fields flow
+    through the pipeline, blob cache, jitted steps, and vis."""
+    from nlt_tpu import trainvali
+    ini = write_ini(tmp_path, scene_root, epochs=1, n_obs=2,
+                    xname="nobs2")
+    outdir = trainvali.main(["--config", ini])
+    metas = glob(join(outdir, "vis_train", "epoch*", "batch*",
+                      "*_metadata.json"))
+    assert metas
+    meta = json.load(open(metas[0]))
+    assert len(meta["nn_id"].split(";")) == 2
+
+
 def test_debug_flag_truncates(tmp_path, scene_root):
     from nlt_tpu import trainvali
     ini = write_ini(tmp_path, scene_root, epochs=1,
