@@ -60,6 +60,8 @@ def get_neighbors(physical, queries=None, k=1):
     for qname, qpos in queries.items():
         d = np.linalg.norm(mat - qpos[None], axis=1)
         nearest = [names[i] for i in np.argsort(d) if names[i] != qname]
+        if not nearest:
+            continue  # no non-self neighbor: omit, like the reference
         nn[qname] = nearest[0] if k == 1 else nearest[:k]
     return nn
 

@@ -251,8 +251,8 @@ def main(args):
     nn = {"cam": cam_nn[cam_name], "light": light_nn[light_name]}
     # Optional k-nearest lists (get_neighbors.py --k): enables
     # multi-observation training (datasets/nlt.py n_obs > 1).
-    cam_k_path = args.cam_nn_json.replace(".json", "_k.json")
-    light_k_path = args.light_nn_json.replace(".json", "_k.json")
+    cam_k_path = args.cam_nn_json[:-len(".json")] + "_k.json"
+    light_k_path = args.light_nn_json[:-len(".json")] + "_k.json"
     if exists(cam_k_path) and exists(light_k_path):
         nn["cams"] = load_json(cam_k_path)[cam_name]
         nn["lights"] = load_json(light_k_path)[light_name]

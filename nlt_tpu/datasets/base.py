@@ -78,12 +78,15 @@ class Dataset:
         self._cache_lock = threading.Lock()
         if cache == "disk":
             root = config.get_list("data_root")[0].rstrip("/")
-            # The wire format (uint8 vs f32) is part of the cache
-            # identity — flipping device_normalize must not hit blobs
-            # written under the other format.
+            # The wire format (uint8 vs f32) and the observation count
+            # (n_obs stacks the nn fields) are part of the cache
+            # identity — flipping either must not hit blobs written
+            # under the other layout.
             u8 = config.get_bool("device_normalize", False)
-            self._disk_cache_dir = "%s_cache/%s_uv%s%s" % (
-                root, mode, config.get("uvh"), "_u8" if u8 else "")
+            n_obs = config.get_int("n_obs", 1)
+            self._disk_cache_dir = "%s_cache/%s_uv%s%s%s" % (
+                root, mode, config.get("uvh"), "_u8" if u8 else "",
+                "_obs%d" % n_obs if n_obs > 1 else "")
             os.makedirs(self._disk_cache_dir, exist_ok=True)
         # Batch schema (field -> delivered dtype/shape), discovered from
         # the first loaded example and reused to preallocate batches.

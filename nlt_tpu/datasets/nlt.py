@@ -188,20 +188,34 @@ class Dataset(BaseDataset):
 
         nn = ioutil.read_json(paths["nn"])
         scene_prefix = id_.rsplit("/", 1)[0] + "/" if "/" in id_ else ""
+        pairs = self._nn_pairs(nn)
         nn_ids = [self._get_nn_id(p, scene_prefix=scene_prefix)
-                  for p in self._nn_pairs(nn)]
-        nn_id = nn_ids[0]
-        nn_futures = []
+                  for p in pairs]
+        if self.n_obs > 1:
+            # An unresolvable pair clamps to the first resolvable
+            # observation (a duplicated real observation keeps the
+            # per-stage feature mean unbiased); all-zero placeholders
+            # only when nothing resolves (the reference's single-nn
+            # behavior, :152-157).
+            fallback = next(
+                (nid for nid in nn_ids if nid is not None), None)
+            if fallback is not None:
+                nn_ids = [nid if nid is not None else fallback
+                          for nid in nn_ids]
+        labels = [
+            nid if nid is not None
+            else "incomplete-data_{cam}_{light}".format(**pair)
+            for nid, pair in zip(nn_ids, pairs)]
+        nn_futures = {}  # memoized by id: duplicates decode once
         for nid in nn_ids:
-            if nid is None:
-                nn_futures.append(None)
+            if nid is None or nid in nn_futures:
                 continue
             nn_paths = self.data_paths[nid]
-            nn_futures.append((
+            nn_futures[nid] = (
                 submit(self._load_png, nn_paths["diffuse"], uvh, None, 3),
                 submit(self._load_png, nn_paths["rgb"], uvh, None, 3),
                 submit(self._load_png, nn_paths["rgb_camspc"],
-                       imh, imw, 3)))
+                       imh, imw, 3))
 
         base = f_base.result()
         cvis = f_cvis.result()
@@ -213,33 +227,19 @@ class Dataset(BaseDataset):
         else:
             rgb = f_rgb.result()
             rgb_camspc = f_rgb_cam.result()
-        nn_bases, nn_rgbs, nn_rgb_camspcs = [], [], []
-        for nid, futs in zip(nn_ids, nn_futures):
-            if futs is None:
-                # Missing neighbor: zero placeholders, training proceeds
-                # (reference: nlt/datasets/nlt.py:152-157).
-                nn_bases.append(np.zeros_like(base))
-                nn_rgbs.append(np.zeros_like(rgb))
-                nn_rgb_camspcs.append(np.zeros_like(rgb_camspc))
-            else:
-                nn_bases.append(futs[0].result())
-                nn_rgbs.append(futs[1].result())
-                nn_rgb_camspcs.append(futs[2].result())
-        if nn_id is None:
-            nn_id = "incomplete-data_{cam}_{light}".format(**nn)
+        loaded = {nid: tuple(f.result() for f in futs)
+                  for nid, futs in nn_futures.items()}
+        zeros = (np.zeros_like(base), np.zeros_like(rgb),
+                 np.zeros_like(rgb_camspc))
+        triples = [loaded.get(nid, zeros) for nid in nn_ids]
+        nn_id = ";".join(labels)
         if self.n_obs == 1:
             # Legacy single-observation contract: unstacked (H, W, C).
-            nn_base, = nn_bases
-            nn_rgb, = nn_rgbs
-            nn_rgb_camspc, = nn_rgb_camspcs
+            (nn_base, nn_rgb, nn_rgb_camspc), = triples
         else:
-            nn_id = ";".join(
-                nid if nid is not None
-                else "incomplete-data_{cam}_{light}".format(**nn)
-                for nid in nn_ids)
-            nn_base = np.stack(nn_bases)
-            nn_rgb = np.stack(nn_rgbs)
-            nn_rgb_camspc = np.stack(nn_rgb_camspcs)
+            nn_base = np.stack([t[0] for t in triples])
+            nn_rgb = np.stack([t[1] for t in triples])
+            nn_rgb_camspc = np.stack([t[2] for t in triples])
 
         if self.device_normalize:
             img = lambda x: np.ascontiguousarray(x)  # noqa: E731 (uint8)

@@ -186,13 +186,16 @@ class Model(BaseModel):
 
         x = jnp.concatenate((base, cvis, lvis), axis=3)
         nn_rgb, nn_base = batch["nn_rgb"], batch["nn_base"]
+        nn_camspc = batch["nn_rgb_camspc"]
         if nn_rgb.ndim == 5:
             # Multi-observation batch (N, K, H, W, C) — one obs-path
             # input per observation; per-stage features mean-aggregate
             # exactly like the reference's obs list
-            # (reference: nlt/models/nlt.py:96, 161-164).
+            # (reference: nlt/models/nlt.py:96, 161-164). Vis shows the
+            # first (nearest) observation.
             y_obs = [nn_rgb[:, j] - nn_base[:, j]
                      for j in range(nn_rgb.shape[1])]
+            nn_camspc = nn_camspc[:, 0]
         else:
             y_obs = [nn_rgb - nn_base]  # one neighbor
 
@@ -231,9 +234,7 @@ class Model(BaseModel):
                 "base_camspc": statics["base_camspc"],
                 "pred": pred,
                 "pred_camspc": pred_camspc,
-                "nn_camspc": (batch["nn_rgb_camspc"][:, 0]
-                          if batch["nn_rgb_camspc"].ndim == 5
-                          else batch["nn_rgb_camspc"]),
+                "nn_camspc": nn_camspc,
                 "gt": batch["rgb"],
                 "gt_camspc": statics["gt_camspc"],
             }
@@ -259,9 +260,7 @@ class Model(BaseModel):
             "base_camspc": base_camspc,
             "pred": pred,
             "pred_camspc": pred_camspc,
-            "nn_camspc": (batch["nn_rgb_camspc"][:, 0]
-                          if batch["nn_rgb_camspc"].ndim == 5
-                          else batch["nn_rgb_camspc"]),
+            "nn_camspc": nn_camspc,
         }
         if mode in ("train", "vali"):
             gt_camspc = imgutil.alpha_blend(rgb_camspc, fg_camspc)

@@ -130,7 +130,8 @@ def make_plan(idx, n_rows, n_groups=1):
     Returns:
         routed: (n_groups, pieces_per_group, r_pad_group) int32 —
             per-piece local row, or the dump row (== piece) on miss.
-        lo, hi: (n_groups, pieces_per_group, chunks_per_group) int32.
+        lo, hi: (n_groups, pieces_per_group, chunks_per_group, _SUB)
+            int32 chunk-local scan bounds per subchunk.
     """
     (r_total,) = idx.shape
     assert n_rows % n_groups == 0 and r_total % n_groups == 0
