@@ -392,10 +392,12 @@ class Model(BaseModel):
         os.makedirs(outdir, exist_ok=True)
         ids = [str(x) for x in data_dict["id"]]
         nn_ids = [str(x) for x in data_dict["nn_id"]]
-        bases = np.asarray(data_dict["base_camspc"])
-        preds = np.asarray(data_dict["pred_camspc"])
-        nns = np.asarray(data_dict["nn_camspc"])
-        gts = None if mode == "test" else np.asarray(data_dict["gt_camspc"])
+        # Accept device-packed vis arrays (uint8/f16; trainvali.pack_vis).
+        bases = imgutil.vis_to_float01(data_dict["base_camspc"])
+        preds = imgutil.vis_to_float01(data_dict["pred_camspc"])
+        nns = imgutil.vis_to_float01(data_dict["nn_camspc"])
+        gts = (None if mode == "test"
+               else imgutil.vis_to_float01(data_dict["gt_camspc"]))
 
         for i in range(len(ids)):
             imgs = {}

@@ -34,6 +34,7 @@ from os.path import dirname, exists, join
 from shutil import copyfile, rmtree
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from . import datasets as datasets_mod
@@ -42,6 +43,7 @@ from .parallel import mesh as mesh_mod
 from .parallel import train as train_mod
 from .utils import checkpoint as ckpt_mod
 from .utils import config as config_mod
+from .utils import img as imgutil
 from .utils import io as ioutil
 from .utils import logging as logutil
 
@@ -236,6 +238,59 @@ def main(argv=None):
     vis_train_batches = config.get_int("vis_train_batches", 4)
     ckpt_period = config.get_int("ckpt_period", 1)
     vali_period = config.get_int("vali_period", 1)
+    # Raw-batch pickles are opt-in like the reference's
+    # (reference: nlt/models/nlt.py:271-272 defaults dump_raw_to=None).
+    dump_raw = config.get_bool("vis_dump_raw", False)
+
+    # Vis outputs leave the device once per vis batch; on thin-host /
+    # tunneled deployments that transfer dominates the epoch wall time
+    # (~75 MB/batch as f32 at 512^2 over a ~35 MB/s link). Quantize on
+    # device first: uint8 when vis is written as 8-bit sRGB PNGs anyway,
+    # float16 for linear-space runs (quantizing before the gamma curve
+    # would band the darks). pred/gt (UV-space, only used by raw dumps)
+    # are dropped unless dump_raw.
+    vis_dtype = (jnp.float16 if config.get_bool("linear_space")
+                 else jnp.uint8)
+
+    @jax.jit
+    def pack_vis(tv):
+        def pack(v):
+            if v.dtype == jnp.uint8:
+                return v
+            v = jnp.clip(v, 0.0, 1.0)
+            if vis_dtype == jnp.uint8:
+                return jnp.round(v * 255.0).astype(jnp.uint8)
+            return v.astype(jnp.float16)
+        return {k: pack(v) for k, v in tv.items()}
+
+    # Host-side cache of the STATIC vis fields (base/nn/gt in camera
+    # space never change for a given example): steady-state epochs only
+    # pull the prediction off the device — on a tunneled host that cuts
+    # the per-vis-batch transfer another ~4x on top of the packing.
+    _static_vis = ("base_camspc", "nn_camspc", "gt_camspc")
+    vis_host_cache = {}
+
+    def fetch_vis(to_vis, meta):
+        if not dump_raw:
+            to_vis = {k: v for k, v in to_vis.items()
+                      if k not in ("pred", "gt")}
+        packed = pack_vis(to_vis)
+        ids = meta.get("id")
+        statics_present = [k for k in _static_vis if k in packed]
+        if ids and all(i in vis_host_cache for i in ids):
+            out = {k: np.asarray(v) for k, v in packed.items()
+                   if k not in _static_vis}
+            for k in statics_present:
+                out[k] = np.stack(
+                    [vis_host_cache[i][k] for i in ids])
+        else:
+            out = {k: np.asarray(v) for k, v in packed.items()}
+            if ids:
+                for j, i in enumerate(ids):
+                    vis_host_cache[i] = {
+                        k: out[k][j] for k in statics_present}
+        out.update(meta)
+        return out
 
     # Optional profiler capture of steps 2..5 of the first epoch
     # (step 1 is compile; SURVEY.md §5: the reference has no profiler
@@ -287,9 +342,7 @@ def main(argv=None):
                     join(outdir, "profile"))
             batch_loss.append(loss)
             if batch_i < vis_train_batches:
-                to_vis = {k: np.asarray(v) for k, v in to_vis.items()}
-                to_vis.update(meta)
-                batch_vis.append(to_vis)
+                batch_vis.append(fetch_vis(to_vis, meta))
             if args.debug:
                 logger.warn("Debug mode: Skipping the rest of this epoch")
                 break
@@ -325,9 +378,10 @@ def main(argv=None):
                 vis_dir = join(
                     train_vis_epoch_dir.format(e=step),
                     "batch%09d" % batch_i)
-                raw_f = join(
+                raw_f = (join(
                     train_vis_epoch_dir.format(e=step),
                     "batch%09d_raw.pickle" % batch_i)
+                    if dump_raw else None)
                 model.vis_batch(
                     to_vis, vis_dir, mode="train", dump_raw_to=raw_f)
                 vis_dirs.append(vis_dir)
@@ -357,17 +411,16 @@ def main(argv=None):
                 if not is_host0:
                     continue
                 v_loss.append(float(loss))
-                to_vis = {k: np.asarray(v) for k, v in to_vis.items()}
-                to_vis.update(meta)
+                to_vis = fetch_vis(to_vis, meta)
                 v_vis.append(to_vis)
                 # Quantitative vali PSNR per epoch (the reference only
                 # writes PSNR into per-image vis metadata; a scalar
                 # series enables early checkpoint selection).
                 if "gt_camspc" in to_vis and hasattr(model, "psnr"):
-                    for i in range(to_vis["pred_camspc"].shape[0]):
-                        v_psnr.append(model.psnr(
-                            np.clip(to_vis["gt_camspc"][i], 0, 1),
-                            np.clip(to_vis["pred_camspc"][i], 0, 1)))
+                    gt01 = imgutil.vis_to_float01(to_vis["gt_camspc"])
+                    pd01 = imgutil.vis_to_float01(to_vis["pred_camspc"])
+                    for i in range(pd01.shape[0]):
+                        v_psnr.append(model.psnr(gt01[i], pd01[i]))
             if not is_host0:
                 continue  # computation done; nothing to write here
             writer_vali.scalar("loss_vali", float(np.mean(v_loss)), step)

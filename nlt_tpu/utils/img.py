@@ -84,6 +84,15 @@ def resize(x, new_h=None, new_w=None, method="linear"):
     return out
 
 
+def vis_to_float01(x):
+    """Undo the device-side vis packing (trainvali.pack_vis): uint8 ->
+    [0, 1] float32, float16 -> float32; float32 passes through."""
+    x = np.asarray(x)
+    if x.dtype == np.uint8:
+        return x.astype(np.float32) / 255.0
+    return np.asarray(x, np.float32)
+
+
 def upsample2x(x):
     """2x bilinear upsampling of NHWC, matching
     tf.keras.layers.UpSampling2D(interpolation='bilinear') semantics
