@@ -29,6 +29,7 @@ from . import models as models_mod
 from .parallel import train as train_mod
 from .utils import checkpoint as ckpt_mod
 from .utils import config as config_mod
+from .utils import img as imgutil
 from .utils import logging as logutil
 
 logger = logutil.Logger(loggee="nlt_test")
@@ -97,8 +98,16 @@ def infer(model, state, dataset, feat_agg, outroot, report_every=10):
     """Run test inference with the tiled averaged pyramid as obs_override
     (reference: nlt_test.py:78-94)."""
     batch_dirs = []
-    apply_jit = jax.jit(
-        lambda p, b, ov: model.apply(p, b, "test", obs_override=ov)[3])
+    is_linear = model.config.get_bool("linear_space")
+
+    def _apply(p, b, ov):
+        tv = model.apply(p, b, "test", obs_override=ov)[3]
+        tv.pop("pred", None)  # UV-space, unused by test vis
+        # Pack on device: the fetch is the per-batch bottleneck on
+        # thin-host deployments (utils/img.pack_vis).
+        return imgutil.pack_vis(tv, linear_space=is_linear)
+
+    apply_jit = jax.jit(_apply)
     for batch_i, batch in enumerate(dataset.iterate(seed=0)):
         arrays = {k: jnp.asarray(v) for k, v in batch.items()
                   if not isinstance(v, list)}

@@ -245,23 +245,11 @@ def main(argv=None):
     # Vis outputs leave the device once per vis batch; on thin-host /
     # tunneled deployments that transfer dominates the epoch wall time
     # (~75 MB/batch as f32 at 512^2 over a ~35 MB/s link). Quantize on
-    # device first: uint8 when vis is written as 8-bit sRGB PNGs anyway,
-    # float16 for linear-space runs (quantizing before the gamma curve
-    # would band the darks). pred/gt (UV-space, only used by raw dumps)
-    # are dropped unless dump_raw.
-    vis_dtype = (jnp.float16 if config.get_bool("linear_space")
-                 else jnp.uint8)
-
-    @jax.jit
-    def pack_vis(tv):
-        def pack(v):
-            if v.dtype == jnp.uint8:
-                return v
-            v = jnp.clip(v, 0.0, 1.0)
-            if vis_dtype == jnp.uint8:
-                return jnp.round(v * 255.0).astype(jnp.uint8)
-            return v.astype(jnp.float16)
-        return {k: pack(v) for k, v in tv.items()}
+    # device first (imgutil.pack_vis); pred/gt (UV-space, only used by
+    # raw dumps) are dropped unless dump_raw.
+    is_linear = config.get_bool("linear_space")
+    pack_vis = jax.jit(
+        lambda tv: imgutil.pack_vis(tv, linear_space=is_linear))
 
     # Host-side cache of the STATIC vis fields (base/nn/gt in camera
     # space never change for a given example): steady-state epochs only

@@ -84,6 +84,24 @@ def resize(x, new_h=None, new_w=None, method="linear"):
     return out
 
 
+def pack_vis(tree, linear_space=False):
+    """Device-side packing of a dict of [0,1] vis images before they
+    leave the device: uint8 (they are written as 8-bit PNGs anyway), or
+    float16 for linear-space runs where pre-gamma quantization would
+    band the darks. Cuts the device->host transfer 2-4x — the dominant
+    epoch cost on thin-host/tunneled deployments (RESULTS.md).
+    Trace-safe: call under jit."""
+    def pack(v):
+        if v.dtype == jnp.uint8:
+            return v
+        v = jnp.clip(v, 0.0, 1.0)
+        if linear_space:
+            return v.astype(jnp.float16)
+        return jnp.round(v * 255.0).astype(jnp.uint8)
+
+    return {k: pack(v) for k, v in tree.items()}
+
+
 def vis_to_float01(x):
     """Undo the device-side vis packing (trainvali.pack_vis): uint8 ->
     [0, 1] float32, float16 -> float32; float32 passes through."""
