@@ -31,17 +31,24 @@ import numpy as np
 from . import datasets as datasets_mod
 from .nlt_test import extract_feat, get_config_ini, restore_model
 from .utils import config as config_mod
+from .utils import img as imgutil
 from .utils import logging as logutil
 
 logger = logutil.Logger(loggee="serve")
 
 
 class Server:
-    def __init__(self, ckpt_dir, step=None, config=None):
+    def __init__(self, ckpt_dir, step=None, config=None, pack=None):
+        """pack: None returns float32 predictions; 'uint8' / 'float16'
+        quantizes them ON DEVICE before the fetch (utils/img.pack_vis)
+        — 4x / 2x less device->host traffic, the right choice for
+        thin-host deployments feeding an 8-bit frame pipeline."""
         if config is None:
             config = config_mod.read_config(get_config_ini(ckpt_dir))
         self.config = config
         self.model, self.state = restore_model(config, ckpt_dir, step=step)
+        assert pack in (None, "uint8", "float16"), pack
+        self.pack = pack
         self._feat_agg = None
         self._predict = None
 
@@ -73,10 +80,14 @@ class Server:
         def fwd(params, batch):
             _, _, _, to_vis = self.model.apply(
                 params, batch, "test", obs_override=override)
-            return {
+            out = {
                 "pred_camspc": to_vis["pred_camspc"],
                 "pred": to_vis["pred"],
             }
+            if self.pack is not None:
+                out = imgutil.pack_vis(
+                    out, linear_space=self.pack == "float16")
+            return out
 
         self._predict = jax.jit(fwd)
         self._bs = bs
@@ -133,9 +144,13 @@ def main(argv=None):
     p.add_argument("--step", type=int, default=None)
     p.add_argument("--bs", type=int, default=1)
     p.add_argument("--n_obs_batches", type=int, default=1)
+    p.add_argument("--pack", type=str, default=None,
+                   choices=["uint8", "float16"],
+                   help="quantize predictions on device before the "
+                        "fetch (thin-host deployments)")
     args = p.parse_args(argv)
 
-    server = Server(args.ckpt, step=args.step)
+    server = Server(args.ckpt, step=args.step, pack=args.pack)
     server.precompute_obs(n_obs_batches=args.n_obs_batches)
 
     Dataset = datasets_mod.get_dataset_class(server.config.get("dataset"))

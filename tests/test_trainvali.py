@@ -186,6 +186,15 @@ def test_serve(trained):
     stats = server.benchmark(batch, n=3)
     assert stats["fps"] > 0
 
+    # Device-side prediction packing for thin-host deployments.
+    packed = Server(join(outdir, "checkpoints"), pack="uint8")
+    packed.precompute_obs(n_obs_batches=1)
+    out8 = packed.predict(batch)
+    assert out8["pred_camspc"].dtype == np.uint8
+    np.testing.assert_allclose(
+        out8["pred_camspc"].astype(np.float32) / 255.0,
+        np.clip(out["pred_camspc"], 0, 1), atol=1 / 255.0 + 1e-6)
+
 
 def test_trainvali_barron_lpips(tmp_path, scene_root):
     """One epoch end to end with the flagship loss spec."""
