@@ -69,8 +69,15 @@ class Dataset:
             # quantizes [0,1] images to uint8, ~1/4 the bytes; first
             # epoch writes, later epochs skip PNG decode entirely).
             raw = str(config.get("cache", "False")).strip().lower()
-            cache = {"true": "ram", "1": "ram", "yes": "ram",
-                     "ram": "ram", "disk": "disk"}.get(raw, False)
+            known = {"true": "ram", "1": "ram", "yes": "ram",
+                     "ram": "ram", "disk": "disk",
+                     "false": False, "0": False, "no": False,
+                     "none": False, "": False}
+            if raw not in known:
+                raise ValueError(
+                    "Unrecognized cache setting %r (use ram/disk/false)"
+                    % raw)
+            cache = known[raw]
         elif cache is True:
             cache = "ram"
         self.cache_enabled = cache
@@ -84,8 +91,9 @@ class Dataset:
             # under the other layout.
             u8 = config.get_bool("device_normalize", False)
             n_obs = config.get_int("n_obs", 1)
-            self._disk_cache_dir = "%s_cache/%s_uv%s%s%s" % (
-                root, mode, config.get("uvh"), "_u8" if u8 else "",
+            self._disk_cache_dir = "%s_cache/%s_uv%s_im%s%s%s" % (
+                root, mode, config.get("uvh"), config.get("imh"),
+                "_u8" if u8 else "",
                 "_obs%d" % n_obs if n_obs > 1 else "")
             os.makedirs(self._disk_cache_dir, exist_ok=True)
         # Batch schema (field -> delivered dtype/shape), discovered from
@@ -243,6 +251,14 @@ class Dataset:
                         if h.readinto(stored) != f["nbytes"]:
                             return False
                         self._blob_decode(f["enc"], stored, out=out[i])
+                # Coverage: every schema field must come from the blob
+                # (a blob predating a new field would otherwise leave
+                # np.empty garbage in that field's batch slot).
+                blob_fields = {f["name"] for f in header["fields"]}
+                if set(arrays) - blob_fields:
+                    return False
+                if set(strs) - set(header["strs"]):
+                    return False
                 for k, v in header["strs"].items():
                     strs[k][i] = v
                 return True
@@ -267,20 +283,6 @@ class Dataset:
         elif self.cache_enabled == "disk":
             self._disk_cache_save(id_, item)
         return item
-
-    @staticmethod
-    def _collate(items):
-        """Stack numpy fields into batch arrays; strings become lists.
-        (Kept for ad-hoc use; the pipeline itself fills preallocated
-        batches in parallel — see `_fill_slot`.)"""
-        batch = {}
-        for k in items[0]:
-            v0 = items[0][k]
-            if isinstance(v0, np.ndarray):
-                batch[k] = np.stack([it[k] for it in items])
-            else:
-                batch[k] = [it[k] for it in items]
-        return batch
 
     def _ensure_schema(self, first_id):
         """Discovers the (dtype, shape) of every field from one example
@@ -340,32 +342,48 @@ class Dataset:
         if self.mode == "train":
             rng = np.random.RandomState(seed)
             rng.shuffle(ids)
-        if num_shards > 1:
-            ids = ids[shard_id::num_shards]
+
+        # Batch geometry is derived from the GLOBAL id list, so every
+        # host of a sharded run computes the same batch count and the
+        # same per-host batch size — the collective train loop would
+        # otherwise desync on len(ids) % num_shards != 0. Each global
+        # batch is then sliced per host.
         if no_batch:
-            bs = 1
+            assert num_shards == 1, "no_batch is a single-process path"
+            gbs = 1
         else:
-            bs = self.bs
+            gbs = self.bs
             if num_shards > 1:
-                assert bs % num_shards == 0, (
+                assert gbs % num_shards == 0, (
                     "Global batch %d not divisible by %d hosts"
-                    % (bs, num_shards))
-                bs //= num_shards
-        n = len(ids) if not drop_remainder else (len(ids) // bs) * bs
-        if n == 0:
-            n = len(ids)  # fewer examples than a batch: keep the remainder
+                    % (gbs, num_shards))
+        chunks = [ids[b * gbs:(b + 1) * gbs]
+                  for b in range(len(ids) // gbs)]
+        rem = ids[(len(ids) // gbs) * gbs:]
+        if rem and (not drop_remainder or not chunks):
+            if num_shards > 1 and len(rem) % num_shards != 0:
+                if not chunks:
+                    raise ValueError(
+                        "%d examples cannot be evenly sharded over %d "
+                        "hosts" % (len(rem), num_shards))
+                logger.warn(
+                    "Dropping %d remainder examples (not divisible "
+                    "across %d hosts)", len(rem), num_shards)
+            else:
+                chunks.append(rem)
+        if num_shards > 1:
+            chunks = [c[shard_id::num_shards] for c in chunks]
 
         out_q = queue.Queue(maxsize=self.prefetch_batches)
         stop = threading.Event()
 
         def producer():
             try:
-                self._ensure_schema(ids[0])
+                self._ensure_schema(chunks[0][0])
                 with ThreadPoolExecutor(self.n_workers) as pool:
-                    for start in range(0, n, bs):
+                    for chunk in chunks:
                         if stop.is_set():
                             return
-                        chunk = ids[start:start + bs]
                         arrays, strs = self._alloc_batch(len(chunk))
                         # Workers write straight into their batch slot.
                         list(pool.map(
@@ -379,7 +397,14 @@ class Dataset:
             except Exception as e:  # surface loader errors to the consumer
                 out_q.put(e)
             finally:
-                out_q.put(None)
+                # The consumer may have gone away with the queue full;
+                # never block forever on the end-of-epoch sentinel.
+                while not stop.is_set():
+                    try:
+                        out_q.put(None, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()

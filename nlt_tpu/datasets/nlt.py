@@ -37,7 +37,6 @@ host-side strings id/nn_id.
 """
 
 import os
-import re
 from itertools import product
 
 import numpy as np
@@ -81,6 +80,26 @@ class Dataset(BaseDataset):
         self.device_normalize = config.get_bool("device_normalize", False)
         self.n_obs = config.get_int("n_obs", 1)
         assert self.n_obs >= 1, "n_obs must be >= 1"
+        # (scene, cam, light) -> trainvali ID: exact-match O(1) neighbor
+        # lookup (a regex scan over all IDs per neighbor was O(N^2) over
+        # the cold epoch and mis-matched names that prefix other names).
+        # Names must not contain '_' — the reference's ID format
+        # '{prefix}_{i:09d}_{cam}_{light}' has the same constraint.
+        self._nn_index = {}
+        for key in self.data_paths:
+            tail = key.split("/")[-1]
+            if not tail.startswith("trainvali_"):
+                continue
+            parts = tail.split("_")
+            if len(parts) < 4:
+                continue
+            scene = key.rsplit("/", 1)[0] + "/" if "/" in key else ""
+            k2 = (scene, parts[-2], parts[-1])
+            if k2 in self._nn_index:
+                raise ValueError(
+                    "Duplicate (cam, light) config: %r and %r"
+                    % (self._nn_index[k2], key))
+            self._nn_index[k2] = key
         super().__init__(config, mode, **kwargs)
 
     def _glob(self):
@@ -133,19 +152,9 @@ class Dataset(BaseDataset):
 
     def _get_nn_id(self, nn, scene_prefix=""):
         """Resolve nn.json's {cam, light} to a trainvali ID, within the
-        same scene when multi-scene (reference: nlt/datasets/nlt.py:88-100).
-        """
-        id_regex = re.compile(
-            r"trainvali_\d\d\d\d\d\d\d\d\d_{cam}_{light}".format(**nn))
-        matched = [
-            x for x in self.data_paths
-            if x.startswith(scene_prefix) and id_regex.search(x) is not None]
-        if not matched:
-            return None
-        if len(matched) == 1:
-            return matched[0]
-        raise ValueError(
-            "Found %d matches:\n\t%s" % (len(matched), matched))
+        same scene when multi-scene (reference: nlt/datasets/nlt.py:88-100
+        does this with a regex scan; here an exact O(1) index lookup)."""
+        return self._nn_index.get((scene_prefix, nn["cam"], nn["light"]))
 
     def _load_png(self, path, new_h, new_w=None, n_ch=None):
         """Decode + normalize + resize in one native call (C++ libpng via

@@ -52,6 +52,14 @@ def make_mesh(n_data=None, n_tile=1, devices=None, batch_size=None):
         if batch_size is not None and batch_size % n_data != 0:
             while n_data > 1 and batch_size % n_data != 0:
                 n_data -= 1
+            if jax.process_count() > 1:
+                # Dropping trailing devices can exclude some process's
+                # devices entirely, breaking global-array assembly.
+                raise ValueError(
+                    "Batch size %d does not divide the %d-device data "
+                    "axis; on a multi-host run pick a batch size that "
+                    "divides the device count" % (batch_size,
+                                                  n_dev // n_tile))
             logger.warn(
                 "Batch size %d not divisible by %d devices; using a "
                 "%dx%d mesh (%d devices idle)", batch_size,
@@ -126,16 +134,24 @@ def initialize_distributed(coordinator_address=None, num_processes=None,
         jax.local_device_count(), jax.device_count())
 
 
-def make_global_batch(mesh, local_batch, tile_spatial=False):
+def make_global_batch(mesh, local_batch, tile_spatial=False,
+                      replicate=False):
     """Assemble a global sharded batch from this process's local shard.
 
     Each host loads its own examples (per-host data loading, SURVEY.md
     §2.5's TPU-native equivalent); this builds the global jax.Arrays.
+
+    replicate: set when every host loaded the SAME full batch (e.g. the
+    fixed validation set, iterated unsharded) — the arrays are placed
+    replicated instead of being mis-assembled as per-host shards.
     """
     out = {}
     for k, v in local_batch.items():
         if isinstance(v, list):
             out[k] = v
+        elif replicate:
+            out[k] = jax.make_array_from_process_local_data(
+                replicated(mesh), v)
         else:
             sharding = batch_spec(mesh, k, tile_spatial, ndim=v.ndim)
             out[k] = jax.make_array_from_process_local_data(sharding, v)

@@ -390,8 +390,9 @@ def main(argv=None):
             for batch in vali_batches:
                 arrays, meta = strip_host_fields(batch)
                 if is_multiprocess:
+                    # Every host iterated the SAME unsharded vali set.
                     arrays = mesh_mod.make_global_batch(
-                        mesh, arrays, tile_spatial)
+                        mesh, arrays, tile_spatial, replicate=True)
                 else:
                     arrays = mesh_mod.shard_batch(
                         mesh, arrays, tile_spatial)

@@ -260,7 +260,7 @@ def test_disk_cache(scene_root):
     b1 = next(iter(ds.iterate(seed=0)))
     # cache files written
     import glob as g
-    cache_files = g.glob(scene_root.rstrip("/") + "_cache/train_uv32/*.blob")
+    cache_files = g.glob(scene_root.rstrip("/") + "_cache/train_uv32_im32/*.blob")
     assert cache_files
     ds2 = get_dataset_class("nlt")(cfg, "train")
     b2 = next(iter(ds2.iterate(seed=0)))
@@ -348,7 +348,7 @@ def test_blob_stale_cache_fallback(scene_root, tmp_path):
 
     # Same cache dir name would need same uvh; simulate staleness by
     # corrupting a blob payload header instead.
-    cache_dir = root.rstrip("/") + "_cache/train_uv16"
+    cache_dir = root.rstrip("/") + "_cache/train_uv16_im16"
     blobs = sorted(os.listdir(cache_dir))
     assert blobs
     victim = os.path.join(cache_dir, blobs[0])
