@@ -177,9 +177,14 @@ class LPIPS:
         """
         if weights is not None:
             img = alpha_blend(img, weights)
-        if self.max_res is not None and img.shape[1] > self.max_res:
-            from ..utils.img import resize
-            img = resize(img, self.max_res, self.max_res)
+        if self.max_res is not None:
+            h, w = img.shape[1], img.shape[2]
+            if max(h, w) > self.max_res:
+                # Aspect-preserving: scale the LONG side to max_res.
+                from ..utils.img import resize
+                scale = self.max_res / max(h, w)
+                img = resize(img, max(1, round(h * scale)),
+                             max(1, round(w * scale)))
         return img * 2.0 - 1.0
 
     def extract_feats(self, params, img, weights=None):

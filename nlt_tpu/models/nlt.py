@@ -208,11 +208,7 @@ class Model(BaseModel):
         if self.skip_connect_base:
             pred = pred + base
 
-        # Scale normalized warp to source-pixel units
-        # (reference: nlt/models/nlt.py:104-106).
-        warp = jnp.stack(
-            (warp[:, :, :, 0] * self.uvw, warp[:, :, :, 1] * self.uvh),
-            axis=3)
+        warp = self._scale_warp(warp)
 
         pred_c = imgutil.set_left_top_corner(pred, 0.0)
         plan = statics.get("pred_plan") if statics is not None else None
@@ -240,22 +236,7 @@ class Model(BaseModel):
             }
             return pred_camspc, statics["gt_camspc"], {}, to_vis
 
-        fg = jnp.ones(pred.shape, jnp.float32)
-        fg = imgutil.set_left_top_corner(fg, 0.0)
-        base_c = imgutil.set_left_top_corner(base, 0.0)
-
-        # Three separate resamples, NOT one packed 9-channel call: the
-        # packed variant was measured 2.2x SLOWER in the full training
-        # program (264 vs 122 ms/step) — the wider rows push the
-        # gather/scatter into worse layouts on this backend.
-        fg_camspc = resample_mod.resample(
-            fg, warp, impl=self.resample_impl)
-        base_camspc = resample_mod.resample(
-            base_c, warp, impl=self.resample_impl)
-
-        fg_camspc = imgutil.resize(fg_camspc, self.imh, self.imw)
-        base_camspc = imgutil.resize(base_camspc, self.imh, self.imw)
-
+        gt_camspc, base_camspc = self._warp_bases(batch, warp)
         to_vis = {
             "base_camspc": base_camspc,
             "pred": pred,
@@ -263,11 +244,44 @@ class Model(BaseModel):
             "nn_camspc": nn_camspc,
         }
         if mode in ("train", "vali"):
-            gt_camspc = imgutil.alpha_blend(rgb_camspc, fg_camspc)
             to_vis["gt"] = batch["rgb"]
             to_vis["gt_camspc"] = gt_camspc
             return pred_camspc, gt_camspc, {}, to_vis
         return pred_camspc, None, None, to_vis
+
+    def _scale_warp(self, warp):
+        """Normalized [0,1] warp -> source-pixel units
+        (reference: nlt/models/nlt.py:104-106)."""
+        return jnp.stack(
+            (warp[:, :, :, 0] * self.uvw, warp[:, :, :, 1] * self.uvh),
+            axis=3)
+
+    def _warp_bases(self, batch, warp):
+        """The params-independent warp products: the warped diffuse base
+        and the training target gt_camspc (camera photo alpha-blended
+        with the warped foreground mask). ONE implementation shared by
+        apply()'s uncached path and static_products' HBM-cached path, so
+        the two can never diverge. In test mode the returned gt_camspc
+        is meaningless (rgb_camspc is a zero placeholder) and unused —
+        XLA prunes it.
+
+        Three separate resamples, NOT one packed 9-channel call: the
+        packed variant was measured 2.2x SLOWER in the full training
+        program (264 vs 122 ms/step) — the wider rows push the
+        gather/scatter into worse layouts on this backend."""
+        base = batch["base"]
+        n, h, w = base.shape[:3]
+        fg = jnp.ones((n, h, w, 3), jnp.float32)
+        fg = imgutil.set_left_top_corner(fg, 0.0)
+        base_c = imgutil.set_left_top_corner(base, 0.0)
+        fg_camspc = resample_mod.resample(
+            fg, warp, impl=self.resample_impl)
+        base_camspc = resample_mod.resample(
+            base_c, warp, impl=self.resample_impl)
+        fg_camspc = imgutil.resize(fg_camspc, self.imh, self.imw)
+        base_camspc = imgutil.resize(base_camspc, self.imh, self.imw)
+        gt_camspc = imgutil.alpha_blend(batch["rgb_camspc"], fg_camspc)
+        return gt_camspc, base_camspc
 
     def static_products(self, batch):
         """Everything in apply() that depends only on static per-example
@@ -279,23 +293,11 @@ class Model(BaseModel):
         per-step resamples (reference recomputes all three every step:
         nlt/models/nlt.py:104-137)."""
         batch = normalize_batch(batch)
-        warp = batch["warp"]
-        warp = jnp.stack(
-            (warp[:, :, :, 0] * self.uvw, warp[:, :, :, 1] * self.uvh),
-            axis=3)
-        n, h, w = batch["base"].shape[:3]
-        fg = jnp.ones((n, h, w, 3), jnp.float32)
-        fg = imgutil.set_left_top_corner(fg, 0.0)
-        base_c = imgutil.set_left_top_corner(batch["base"], 0.0)
-        fg_camspc = resample_mod.resample(
-            fg, warp, impl=self.resample_impl)
-        base_camspc = resample_mod.resample(
-            base_c, warp, impl=self.resample_impl)
-        fg_camspc = imgutil.resize(fg_camspc, self.imh, self.imw)
-        base_camspc = imgutil.resize(base_camspc, self.imh, self.imw)
+        warp = self._scale_warp(batch["warp"])
+        h, w = batch["base"].shape[1:3]
+        gt_camspc, base_camspc = self._warp_bases(batch, warp)
         products = {
-            "gt_camspc": imgutil.alpha_blend(
-                batch["rgb_camspc"], fg_camspc),
+            "gt_camspc": gt_camspc,
             "base_camspc": base_camspc,
         }
         if self.resample_impl == "xla":
@@ -346,11 +348,13 @@ class Model(BaseModel):
                 # (N, H, W, C, 1) intermediate costs real copies.
                 if obs_weights is None and len(obs_ys) == 1:
                     obs_agg = obs_ys[0]
+                elif obs_weights is None:
+                    obs_agg = jnp.mean(jnp.stack(obs_ys, axis=-1), axis=-1)
                 else:
+                    # Weighted mean: normalize by the weight sum, not K.
                     obs_agg = jnp.stack(obs_ys, axis=-1)
-                    if obs_weights is not None:
-                        obs_agg = obs_weights * obs_agg
-                    obs_agg = jnp.mean(obs_agg, axis=-1)
+                    obs_agg = (jnp.sum(obs_weights * obs_agg, axis=-1)
+                               / jnp.sum(obs_weights, axis=-1))
                 obs_xs = obs_ys
                 obs_i += 1
 
@@ -442,8 +446,11 @@ class Model(BaseModel):
                 pred = np.clip(preds[i], 0, 1)
                 base = np.clip(bases[i], 0, 1)
                 gt = np.clip(gts[i], 0, 1)
-                metadata["pred_psnr"] = self.psnr(gt, pred)
-                metadata["base_psnr"] = self.psnr(gt, base)
+                # PSNR is inf on an exact match; null keeps the JSON
+                # strictly parseable.
+                for key, v in (("pred_psnr", self.psnr(gt, pred)),
+                               ("base_psnr", self.psnr(gt, base))):
+                    metadata[key] = float(v) if np.isfinite(v) else None
             ioutil.write_json(metadata, join(outdir, "%d_metadata.json" % i))
 
         if dump_raw_to is not None:
@@ -470,7 +477,7 @@ class Model(BaseModel):
         rows, caps, types = [], [], []
         for batch_dir in batch_dirs:
             for metadata_path in sorted(
-                    glob(join(batch_dir, "?_metadata.json"))):
+                    glob(join(batch_dir, "[0-9]*_metadata.json"))):
                 prefix = metadata_path[:-len("metadata.json")]
                 metadata = str(ioutil.read_json(metadata_path))
                 rows.append([
@@ -493,7 +500,7 @@ class Model(BaseModel):
     def _compile_into_video(batch_dirs, out_mp4, fps=12):
         frames = {}
         for batch_dir in batch_dirs:
-            for metadata_path in glob(join(batch_dir, "?_metadata.json")):
+            for metadata_path in glob(join(batch_dir, "[0-9]*_metadata.json")):
                 prefix = metadata_path[:-len("metadata.json")]
                 pred_path = prefix + "pred.png"
                 if not exists(pred_path):

@@ -114,11 +114,16 @@ class Distribution:
         """-log p(x | 0, alpha, scale) (reference: distribution.py:181-222).
         Requires alpha >= 0 and scale > 0 (not checked under jit)."""
         loss = general_loss.lossfun(x, alpha, scale, approximate=False)
-        alpha_b = jnp.broadcast_to(jnp.asarray(alpha, x.dtype), x.shape)
-        scale_b = jnp.broadcast_to(jnp.asarray(scale, x.dtype), x.shape)
+        # Evaluate the spline on alpha's OWN shape (typically (1, C) per
+        # channel) and let the addition broadcast — broadcasting first
+        # would multiply the gather/Hermite work by the batch size when
+        # alpha is trainable.
         log_partition = (
-            jnp.log(scale_b) + self.log_base_partition_function(alpha_b))
-        return loss + log_partition
+            jnp.log(jnp.asarray(scale, x.dtype))
+            + self.log_base_partition_function(
+                jnp.asarray(alpha, x.dtype)))
+        return loss + jnp.broadcast_to(
+            log_partition.astype(x.dtype), x.shape)
 
     def draw_samples(self, key, alpha, scale, n_rounds=64):
         """Rejection-sample the distribution (Algorithm 1 of the paper;

@@ -66,9 +66,11 @@ class Server:
                     "No training data for obs features (%s); serving "
                     "with zero observation features", e)
                 self._feat_agg = None
+                self._predict = None
                 return
         self._feat_agg = extract_feat(
             self.model, self.state, dataset, n_obs_batches=n_obs_batches)
+        self._predict = None  # features changed: rebuild on next predict
 
     def _build(self, bs):
         feat = self._feat_agg

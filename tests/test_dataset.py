@@ -164,6 +164,32 @@ def test_multi_observation_model_forward(scene_root):
     assert np.isfinite(float(gnorm)) and float(gnorm) > 0
 
 
+def test_obs_weights_normalized_mean(scene_root):
+    """_apply_unet's obs_weights are a NORMALIZED weighted mean: uniform
+    weights reproduce the unweighted path regardless of their scale."""
+    import jax
+    import jax.numpy as jnp
+
+    from nlt_tpu.models import get_model_class
+
+    cfg = scene_config(scene_root, n_obs=2)
+    ds = get_dataset_class("nlt")(cfg, "train")
+    model = get_model_class("nlt")(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    batch = next(iter(ds.iterate(seed=0)))
+    x = jnp.concatenate(
+        [jnp.asarray(batch["base"]), jnp.asarray(batch["cvis"]),
+         jnp.asarray(batch["lvis"])], axis=3)
+    y_obs = [jnp.asarray(batch["nn_rgb"][:, j] - batch["nn_base"][:, j])
+             for j in range(2)]
+    out_plain = model._apply_unet(params["net"], x, y_obs)
+    # Uniform weights of arbitrary scale == unweighted mean.
+    w = jnp.full((x.shape[0], 2), 7.0)
+    out_w = model._apply_unet(params["net"], x, y_obs, obs_weights=w)
+    np.testing.assert_allclose(
+        np.asarray(out_w), np.asarray(out_plain), rtol=1e-5, atol=1e-5)
+
+
 def test_warp_range_and_background(scene_root):
     ds = get_dataset_class("nlt")(scene_config(scene_root), "train")
     item = ds._load_item(sorted(ds.files)[0])
