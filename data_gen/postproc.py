@@ -32,10 +32,17 @@ parser.add_argument("--out_json", type=str, default=None,
 
 
 def _load01(path):
-    arr = np.asarray(Image.open(path), np.float32)
-    if arr.max() > 1.0:
-        arr = arr / 255.0
-    return arr
+    """Load an image as [0,1] float32, normalizing by DTYPE (a
+    value-range check would treat a nearly-black uint8 image, e.g. a
+    fully shadowed lvis with max pixel 1, as already normalized and
+    leave it ~255x too bright)."""
+    img = Image.open(path)
+    arr = np.asarray(img)
+    if arr.dtype == np.uint8:
+        return arr.astype(np.float32) / 255.0
+    if arr.dtype == np.uint16:
+        return arr.astype(np.float32) / 65535.0
+    return arr.astype(np.float32)
 
 
 def _write01(arr, path):

@@ -17,7 +17,6 @@ Re-design of the reference's test pipeline (reference: nlt/nlt_test.py):
 """
 
 import argparse
-from glob import glob
 from os.path import join
 
 import jax
@@ -58,7 +57,8 @@ def get_config_ini(ckpt_dir):
 def restore_model(config, ckpt_dir, step=None):
     ModelCls = models_mod.get_model_class(config.get("model"))
     model = ModelCls(config)
-    tx = train_mod.make_optimizer(config.get_float("lr"))
+    tx = train_mod.make_optimizer(config.get_float("lr"),
+                              config.get_float("mgm", -1))
     state = train_mod.init_state(model, tx, jax.random.PRNGKey(0))
     manager = ckpt_mod.CheckpointManager(ckpt_dir)
     state, restored = manager.restore(state, step=step)
@@ -75,7 +75,8 @@ def extract_feat(model, state, dataset, n_obs_batches=1):
     from .models.nlt import normalize_batch
 
     feat_sums, count = None, 0
-    for batch_i, batch in enumerate(dataset.iterate(seed=0)):
+    for batch_i, batch in enumerate(
+            dataset.iterate(seed=0, drop_remainder=False)):
         if 0 <= n_obs_batches <= batch_i:
             break
         batch = normalize_batch(
@@ -108,7 +109,9 @@ def infer(model, state, dataset, feat_agg, outroot, report_every=10):
         return imgutil.pack_vis(tv, linear_space=is_linear)
 
     apply_jit = jax.jit(_apply)
-    for batch_i, batch in enumerate(dataset.iterate(seed=0)):
+    # Keep the remainder: every test view must be inferred.
+    for batch_i, batch in enumerate(
+            dataset.iterate(seed=0, drop_remainder=False)):
         arrays = {k: jnp.asarray(v) for k, v in batch.items()
                   if not isinstance(v, list)}
         bs = arrays["base"].shape[0]
@@ -147,9 +150,11 @@ def main(argv=None):
     step = args.step if args.step is not None else "latest"
     outroot = join(config_ini[:-len(".ini")], "vis_test",
                    "ckpt-%s_pred" % step)
-    infer(model, state, dataset_test, feat_agg, outroot)
+    batch_vis_dirs = infer(
+        model, state, dataset_test, feat_agg, outroot)
 
-    batch_vis_dirs = sorted(glob(join(outroot, "*")))
+    # Use infer()'s dir list, not a re-glob (stale dirs from a previous
+    # run with a different batch size would pollute the video).
     view_at = model.compile_batch_vis(
         batch_vis_dirs, outroot.rstrip("/"), "test", fps=args.fps)
     logger.info("Compilation available for viewing at\n\t%s", view_at)

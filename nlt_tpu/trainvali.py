@@ -174,7 +174,8 @@ def main(argv=None):
     if dataset_vali is not None:
         n_vali_batches = config.get_int("vali_batches", -1)
         vali_batches = []
-        for i, b in enumerate(dataset_vali.iterate(seed=0)):
+        for i, b in enumerate(
+                dataset_vali.iterate(seed=0, drop_remainder=False)):
             if 0 <= n_vali_batches <= i:
                 break
             vali_batches.append(b)
@@ -207,11 +208,13 @@ def main(argv=None):
     # cache_static (defaults to lpips_cache_gt for config compat).
     # Single-process data-parallel only.
     feat_cache = None
+    from .models.base import Model as _BaseModel
+    overrides_statics = (
+        type(model).static_products is not _BaseModel.static_products)
     if (config.get_bool("cache_static",
                         config.get_bool("lpips_cache_gt", False))
             and hasattr(model, "feat_loss_indices")
-            and (model.feat_loss_indices()
-                 or getattr(model, "static_products", None))):
+            and (model.feat_loss_indices() or overrides_statics)):
         if is_multiprocess or tile_spatial or no_batch:
             logger.warn(
                 "cache_static disabled (multi-host/tile-sharded/"
@@ -233,6 +236,13 @@ def main(argv=None):
     keep = keep_recent if keep_recent > 0 else None
     train_deque = deque([], keep)
     vali_deque = deque([], keep)
+    # On resume, seed the retention queues from the vis dirs already on
+    # disk — a fresh (empty) deque would otherwise evict every prior
+    # epoch's vis on the first new write, violating keep_recent_epochs.
+    for q, template in ((train_deque, train_vis_epoch_dir),
+                        (vali_deque, vali_vis_epoch_dir)):
+        for d in sorted(glob(join(dirname(template), "epoch*"))):
+            q.appendleft(d)
 
     epochs = config.get_int("epochs")
     vis_train_batches = config.get_int("vis_train_batches", 4)
@@ -256,6 +266,9 @@ def main(argv=None):
     # pull the prediction off the device — on a tunneled host that cuts
     # the per-vis-batch transfer another ~4x on top of the packing.
     _static_vis = ("base_camspc", "nn_camspc", "gt_camspc")
+    # Bounded (FIFO) so shuffled train vis batches cannot grow it
+    # without limit over long runs (~2.4 MB/example at 512^2).
+    _VIS_CACHE_CAP = 256
     vis_host_cache = {}
 
     def fetch_vis(to_vis, meta):
@@ -277,6 +290,8 @@ def main(argv=None):
                 for j, i in enumerate(ids):
                     vis_host_cache[i] = {
                         k: out[k][j] for k in statics_present}
+                while len(vis_host_cache) > _VIS_CACHE_CAP:
+                    vis_host_cache.pop(next(iter(vis_host_cache)))
         out.update(meta)
         return out
 
@@ -329,11 +344,26 @@ def main(argv=None):
                     "Profiler trace written to %s",
                     join(outdir, "profile"))
             batch_loss.append(loss)
-            if batch_i < vis_train_batches:
+            # Fetch train vis only on epochs that will write it (the
+            # ckpt_period gate below) — the device->host transfer is
+            # the expensive part on thin hosts. Multi-host train
+            # batches are data-sharded (not fully addressable on any
+            # one host), so train vis is skipped there; vali vis
+            # (replicated batches) still works.
+            if (batch_i < vis_train_batches
+                    and (epoch_i + 1) % ckpt_period == 0
+                    and not is_multiprocess):
                 batch_vis.append(fetch_vis(to_vis, meta))
             if args.debug:
                 logger.warn("Debug mode: Skipping the rest of this epoch")
                 break
+        if profile_state["on"]:
+            # Fewer batches than the capture window: close the trace at
+            # epoch end instead of re-entering start_trace next epoch.
+            jax.profiler.stop_trace()
+            profile_state.update(on=False, done=True)
+            logger.info(
+                "Profiler trace written to %s", join(outdir, "profile"))
         assert batch_time, "Dataset is empty"
         # Sync once per epoch: realize the deferred losses. batch_time
         # entries are async dispatch times; the honest per-batch figure
