@@ -61,6 +61,14 @@ _S1_MAX_KERNEL = 3
 # roughly what the einsum operand did), so the single einsum stays
 # default; the flag remains for re-measurement on other shapes.
 _S2_TAPMM = os.environ.get("NLT_TPU_S2TAP", "0") != "0"
+# k==s==2 convs as TWO row-parity matmuls: viewing x as
+# (n, h/2, 2, w/2, 2c) is a FREE reshape of the NHWC buffer, so each
+# parity slice is a streaming row copy and the contraction runs over
+# the (column-pair, channel) dim directly. Measured WORSE than the 6-D
+# einsum on the cached flagship step (37.6 vs 33.9 ms — XLA's layouts
+# for the parity slices still relayout, and the 2c-wide matmuls feed
+# the MXU worse). Off by default; kept for re-measurement.
+_S2_ROWPAIR = os.environ.get("NLT_TPU_S2RP", "0") != "0"
 
 
 def _glorot_uniform(key, shape, dtype=jnp.float32):
@@ -122,7 +130,17 @@ def conv(kernel_size, n_ch_out, stride=1):
             patches = x.reshape(n, h // k, k, wd // k, k, c)
             # Accumulate in f32 on the MXU regardless of activation
             # dtype (bf16 accumulation falls off the fast path).
-            if _S2_TAPMM:
+            if _S2_ROWPAIR and k == 2:
+                xr = x.reshape(n, h // 2, 2, wd // 2, 2 * c)
+                wr = w.reshape(2, 2 * c, n_ch_out)  # (k_h, (k_w c), o)
+                y = None
+                for r in range(2):
+                    part = jnp.einsum(
+                        "nhwd,do->nhwo", xr[:, :, r], wr[r],
+                        preferred_element_type=jnp.float32)
+                    y = part if y is None else y + part
+                y = y.astype(x.dtype)
+            elif _S2_TAPMM:
                 wk = w.reshape(k, k, c, n_ch_out)
                 y = None
                 for di in range(k):
@@ -163,15 +181,29 @@ def deconv(kernel_size, n_ch_out, stride=1):
         b = params["b"].astype(x.dtype)
         k = kernel_size
         if _S2D_FASTPATH and k == stride and x.shape[3] >= _S2D_MIN_CH:
-            # Matmul + depth-to-space: each input pixel emits a k x k
-            # block. The einsum emits (n, h, k, w, q, o) directly so the
-            # depth-to-space is a pure reshape, no transpose copy.
             n, h, wd, c = x.shape
-            y = jnp.einsum(
-                "nhwc,ckqo->nhkwqo", x,
-                w.transpose(2, 0, 1, 3),
-                preferred_element_type=jnp.float32).astype(x.dtype)
-            y = y.reshape(n, h * k, wd * k, n_ch_out)
+            if _S2_ROWPAIR and k == 2:
+                # Two matmuls emitting the (column-pair, channel)-packed
+                # rows per output-row parity, then a streaming row
+                # interleave (the stack+reshape is memory-order exact).
+                wr = w.transpose(0, 2, 1, 3).reshape(
+                    2, c, 2 * n_ch_out)  # (k_h, c, (k_w o))
+                parts = [
+                    jnp.einsum("nhwc,co->nhwo", x, wr[r],
+                               preferred_element_type=jnp.float32)
+                    for r in range(2)]
+                y = jnp.stack(parts, axis=2).astype(x.dtype)
+                y = y.reshape(n, h * 2, wd * 2, n_ch_out)
+            else:
+                # Matmul + depth-to-space: each input pixel emits a
+                # k x k block. The einsum emits (n, h, k, w, q, o)
+                # directly so the depth-to-space is a pure reshape, no
+                # transpose copy.
+                y = jnp.einsum(
+                    "nhwc,ckqo->nhkwqo", x,
+                    w.transpose(2, 0, 1, 3),
+                    preferred_element_type=jnp.float32).astype(x.dtype)
+                y = y.reshape(n, h * k, wd * k, n_ch_out)
         elif (_S1_MATMUL and stride == 1 and 1 < k <= _S1_MAX_KERNEL):
             # Conv2DTranspose(stride=1) is the transpose of the SAME
             # stride-1 conv: correlation with the spatially flipped
