@@ -225,6 +225,25 @@ def test_pipeline_batches(scene_root):
     assert t0 == t1 == sorted(t0)
 
 
+def test_iterate_sharded_geometry(scene_root):
+    """Sharded hosts must agree on batch count and per-host batch size
+    even when len(ids) doesn't divide: geometry is derived globally."""
+    ds = get_dataset_class("nlt")(scene_config(scene_root), "train")
+    assert len(ds) == 8  # bs 2, 2 shards -> 4 global batches of 1/host
+    per_shard = []
+    for shard in (0, 1):
+        batches = list(ds.iterate(seed=3, shard_id=shard, num_shards=2))
+        per_shard.append(batches)
+    assert len(per_shard[0]) == len(per_shard[1]) == 4
+    for b0, b1 in zip(*per_shard):
+        assert b0["base"].shape[0] == b1["base"].shape[0] == 1
+        # Disjoint example sets per host, same global batch.
+        assert set(b0["id"]).isdisjoint(b1["id"])
+    # Union over both hosts covers every example exactly once.
+    seen = [i for bs_ in per_shard for b in bs_ for i in b["id"]]
+    assert sorted(seen) == sorted(ds.files)
+
+
 def test_cache_returns_same_data(scene_root):
     cfg = scene_config(scene_root, cache=True)
     ds = get_dataset_class("nlt")(cfg, "train")

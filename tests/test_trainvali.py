@@ -146,6 +146,28 @@ def test_nlt_test_inference(trained):
     assert md["id"].startswith("test_")
 
 
+def test_resume_preserves_vis_retention(tmp_path, scene_root):
+    """keep_recent_epochs retention survives a resume: the vis queues
+    are seeded from the dirs on disk, so a restart must not wipe the
+    previous run segment's retained epochs."""
+    from nlt_tpu import trainvali
+    ini = write_ini(tmp_path, scene_root, epochs=2, keep_recent_epochs=3,
+                    xname="retain")
+    outdir = trainvali.main(["--config", ini])
+    before = set(os.listdir(join(outdir, "vis_train")))
+    assert len(before) == 2  # epochs 1-2 retained (keep=3)
+
+    cfg = Config.from_ini(ini)
+    cfg.set("epochs", 3)
+    cfg.set("overwrite", False)
+    ini2 = str(tmp_path / "exp_retain_resume.ini")
+    cfg.save(ini2)
+    trainvali.main(["--config", ini2])
+    after = sorted(os.listdir(join(outdir, "vis_train")))
+    # 3 epochs exist and fit keep_recent_epochs=3: nothing was evicted.
+    assert after == ["epoch%09d" % e for e in (1, 2, 3)]
+
+
 def test_trainvali_multi_observation(tmp_path, scene_root):
     """Full driver run with n_obs=2: stacked neighbor fields flow
     through the pipeline, blob cache, jitted steps, and vis."""
