@@ -319,19 +319,22 @@ def main(argv=None):
                 jax.profiler.start_trace(join(outdir, "profile"))
                 profile_state["on"] = True
             t0 = time.time()
-            if feat_cache is not None and feat_cache.has_all(
-                    batch["id"]):
+            if feat_cache is not None:
+                # Extract-then-step, even on first sight of an example:
+                # the cached step skips exactly the work the extractor
+                # just did (the uncached step would REPEAT the fg/base
+                # resamples and gt LPIPS taps), and the uncached train
+                # program never needs compiling at all. Loss params are
+                # frozen, so extraction timing vs the update is moot.
+                if not feat_cache.has_all(batch["id"]):
+                    feat_cache.insert(
+                        batch["id"],
+                        extract_statics(state["params"], arrays))
                 statics = feat_cache.gather(batch["id"])
                 state, loss, to_vis = train_step_cached(
                     state, arrays, statics)
             else:
                 state, loss, to_vis = train_step(state, arrays)
-                if feat_cache is not None:
-                    # Loss params are frozen, so extracting with the
-                    # post-step params is exact.
-                    feat_cache.insert(
-                        batch["id"],
-                        extract_statics(state["params"], arrays))
             # Don't block on the loss here: dispatch is async, so the
             # host thread goes straight back to feeding data while the
             # device crunches (the reference blocks implicitly in eager
