@@ -18,7 +18,6 @@ directional, not a measured comparison.
 """
 
 import json
-import time
 
 import numpy as np
 
@@ -31,23 +30,15 @@ DEPTH = 256
 
 
 def main():
-    import os
-
     import jax
+
+    from __graft_entry__ import (_enable_compile_cache, _make_batch,
+                                 _make_model)
+    from nlt_tpu.parallel import train as train_mod
 
     # Persistent compile cache: the remote compile service has been
     # observed to wedge; a warmed cache keeps the bench runnable.
-    try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.environ.get("NLT_TPU_COMPILE_CACHE",
-                           "/tmp/nlt_tpu_compile_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-    except Exception:
-        pass
-
-    from __graft_entry__ import _make_batch, _make_model
-    from nlt_tpu.parallel import train as train_mod
+    _enable_compile_cache()
 
     model = _make_model(RES, RES, DEPTH, BS)
     tx = train_mod.make_optimizer(1e-3)
@@ -61,25 +52,24 @@ def main():
     # without waiting for remote execution, and a host fetch pays a
     # ~25-30 ms tunnel round trip; the honest per-step time is the
     # SLOPE between two chained-run lengths, each synchronized by
-    # fetching the loss value (see tools/bench_step.py).
+    # fetching the loss value (nlt_tpu/utils/timing.slope_time — the
+    # one implementation every bench shares).
+    from nlt_tpu.utils.timing import slope_time
+
     def measure(fn, state, extra=(), n1=10, n2=30, reps=3):
         state, loss, vis = fn(state, batch, *extra)  # compile
         float(loss)
+        box = {"state": state}
 
-        def run(n, state):
-            t0 = time.perf_counter()
+        def run_n(n):
+            s = box["state"]
             for _ in range(n):
-                state, loss, _ = fn(state, batch, *extra)
+                s, loss, _ = fn(s, batch, *extra)
             float(loss)
-            return time.perf_counter() - t0, state
+            box["state"] = s
 
-        times = []
-        for _ in range(reps):
-            t_1, state = run(n1, state)
-            t_2, state = run(n2, state)
-            times.append((t_2 - t_1) / (n2 - n1))
-        times.sort()
-        return times[len(times) // 2], state
+        dt = slope_time(run_n, n1=n1, n2=n2, reps=reps)
+        return dt, box["state"]
 
     dt_uncached, state = measure(train_step, state)
 

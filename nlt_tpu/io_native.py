@@ -82,23 +82,53 @@ def get_lib():
     return _lib
 
 
+def _resize_bilinear_np(src, dh, dw):
+    """Numpy mirror of nltio_resize_bilinear_f32 (half-pixel-centered
+    point-sampled 2x2 bilinear, clamped edges): the fallback must be
+    NUMERICALLY IDENTICAL to the native path, or models trained on
+    machines with/without the .so would see different data. (PIL's
+    BILINEAR antialiases on downsampling — different pixels.)"""
+    sh, sw = src.shape[:2]
+    fy = (np.arange(dh, dtype=np.float32) + 0.5) * (sh / dh) - 0.5
+    fx = (np.arange(dw, dtype=np.float32) + 0.5) * (sw / dw) - 0.5
+    y0 = np.floor(fy).astype(np.int64)
+    x0 = np.floor(fx).astype(np.int64)
+    ty = (fy - y0).astype(np.float32)[:, None, None]
+    tx = (fx - x0).astype(np.float32)[None, :, None]
+    y0c = np.clip(y0, 0, sh - 1)
+    y1c = np.clip(y0 + 1, 0, sh - 1)
+    x0c = np.clip(x0, 0, sw - 1)
+    x1c = np.clip(x0 + 1, 0, sw - 1)
+    if src.ndim == 2:
+        src = src[:, :, None]
+    top = src[y0c][:, x0c] * (1 - tx) + src[y0c][:, x1c] * tx
+    bot = src[y1c][:, x0c] * (1 - tx) + src[y1c][:, x1c] * tx
+    return (top * (1 - ty) + bot * ty).astype(np.float32)
+
+
 def _pil_load_resized(path, new_h=None, new_w=None):
-    """Pure-host fallback: PIL decode + PIL bilinear resize. MUST stay
-    jax-free — it runs inside loader threads, and a jax-based resize
-    would bounce every image through the accelerator (catastrophic over
-    a remote-device tunnel, and a thread-safety hazard)."""
+    """Pure-host fallback: PIL decode + the SAME point-sampled bilinear
+    the native kernel uses (_resize_bilinear_np). MUST stay jax-free —
+    it runs inside loader threads, and a jax-based resize would bounce
+    every image through the accelerator (catastrophic over a
+    remote-device tunnel, and a thread-safety hazard)."""
     from PIL import Image
     img = Image.open(path)
-    if new_h is not None:
-        if new_w is None:
-            new_w = int(img.size[0] / img.size[1] * new_h)
-        img = img.resize((new_w, new_h), Image.BILINEAR)
     arr = np.asarray(img)
     if arr.dtype == np.uint8:
-        return arr.astype(np.float32) / 255.0
-    if arr.dtype == np.uint16:
-        return arr.astype(np.float32) / 65535.0
-    return arr.astype(np.float32)
+        arr = arr.astype(np.float32) / 255.0
+    elif arr.dtype == np.uint16:
+        arr = arr.astype(np.float32) / 65535.0
+    else:
+        arr = arr.astype(np.float32)
+    if new_h is not None:
+        if new_w is None:
+            new_w = int(arr.shape[1] / arr.shape[0] * new_h)
+        squeeze = arr.ndim == 2
+        arr = _resize_bilinear_np(arr, new_h, new_w)
+        if squeeze:
+            arr = arr[:, :, 0]
+    return arr
 
 
 def available():

@@ -51,7 +51,8 @@ from nlt_tpu.parallel import train as train_mod  # noqa: E402
 
 def run(n_dev):
     devices = jax.devices()[:n_dev]
-    n_tile = args.n_tile if n_dev % max(args.n_tile, 1) == 0 else 1
+    n_tile = (args.n_tile
+              if args.n_tile >= 1 and n_dev % args.n_tile == 0 else 1)
     mesh = mesh_mod.make_mesh(
         n_data=n_dev // n_tile, n_tile=n_tile, devices=devices)
     bs = args.per_device_bs * (n_dev // n_tile)
@@ -81,7 +82,7 @@ def run(n_dev):
     dt = slope_time(run_n, n1=max(2, args.steps // 4),
                     n2=max(6, args.steps), reps=3)
     texels = bs * args.res * args.res
-    return texels / dt, dt
+    return texels / dt, dt, bs
 
 
 def main():
@@ -90,12 +91,12 @@ def main():
     base_rate = None
     print("devices  global_bs  step_ms   texels/s     efficiency")
     for n in sizes:
-        rate, dt = run(n)
+        rate, dt, bs = run(n)
         if base_rate is None:
             base_rate = rate
         eff = rate / (base_rate * n)
         print("%7d  %9d  %7.2f  %10.3e  %9.1f%%"
-              % (n, args.per_device_bs * n, dt * 1000, rate, 100 * eff))
+              % (n, bs, dt * 1000, rate, 100 * eff))
 
 
 if __name__ == "__main__":

@@ -63,13 +63,30 @@ def from_state_dict(path, out_path):
     save = {}
     conv_keys = [k for k in sd if k.endswith(".weight")
                  and sd[k].dim() == 4 and "lin" not in k]
-    conv_keys = sorted(conv_keys)[:5]
+
+    def numeric_key(k):
+        # torchvision naming 'features.10.weight' must order 10 AFTER 3
+        # (lexicographic sort puts it before, scrambling the layers).
+        return [int(p) if p.isdigit() else p for p in k.split(".")]
+
+    conv_keys = sorted(conv_keys, key=numeric_key)[:5]
+    # Validate the AlexNet channel chain 3->64->192->384->256->256.
+    chain = [tuple(sd[k].shape[:2]) for k in conv_keys]  # (out, in)
+    expect = [(64, 3), (192, 64), (384, 192), (256, 384), (256, 256)]
+    assert chain == expect, (
+        "Unexpected conv chain %s (want %s); check the state_dict "
+        "naming" % (chain, expect))
     for i, k in enumerate(conv_keys):
         save["conv%d_w" % i] = sd[k].numpy().transpose(2, 3, 1, 0)
         bk = k[:-len("weight")] + "bias"
         save["conv%d_b" % i] = sd[bk].numpy()
-    lin_keys = sorted(k for k in sd if "lin" in k and k.endswith(".weight"))
+    lin_keys = sorted(
+        (k for k in sd if "lin" in k and k.endswith(".weight")),
+        key=numeric_key)
     assert len(lin_keys) >= 5, "Could not find linear head weights"
+    # Heads must match the tap channel counts in order.
+    lin_chain = [int(np.prod(sd[k].shape)) for k in lin_keys[:5]]
+    assert lin_chain == [64, 192, 384, 256, 256], lin_chain
     for i, k in enumerate(lin_keys[:5]):
         save["lin%d_w" % i] = sd[k].numpy().reshape(-1)
     np.savez(out_path, **save)
@@ -108,14 +125,31 @@ def from_pb(path, out_path):
         io = (v.shape[2], v.shape[3])
         if io in by_io:
             save["conv%d_w" % by_io[io]] = v
-    lin_ws = [v for k, v in consts.items()
-              if v.ndim == 4 and v.shape[:2] == (1, 1) and v.shape[3] == 1]
-    lin_ws.sort(key=lambda v: v.shape[2], reverse=False)
+    # Conv biases: 1-D consts matching each conv's output width, taken
+    # in graph order per width (AlexNet widths repeat only for the two
+    # 256-wide convs, whose biases appear in graph order).
+    bias_pool = [(k, v) for k, v in consts.items() if v.ndim == 1]
     for i in range(5):
-        save.setdefault("conv%d_b" % i, np.zeros(
-            save["conv%d_w" % i].shape[3], np.float32))
-    for i, v in enumerate(lin_ws[:5]):
-        save["lin%d_w" % i] = np.abs(v.reshape(-1))
+        width = save["conv%d_w" % i].shape[3]
+        match = next(
+            ((k, v) for k, v in bias_pool if v.shape[0] == width), None)
+        assert match is not None, (
+            "No bias const of width %d for conv%d in the graph — "
+            "refusing to write zeros silently" % (width, i))
+        save["conv%d_b" % i] = match[1]
+        bias_pool.remove(match)
+
+    # Lin heads: one per tap, identified by the tap's channel count.
+    # The two 256-channel stages are disambiguated by graph order.
+    lin_ws = [v for k, v in sorted(consts.items())
+              if v.ndim == 4 and v.shape[:2] == (1, 1) and v.shape[3] == 1]
+    tap_chs = [save["conv%d_w" % i].shape[3] for i in range(5)]
+    for i, ch in enumerate(tap_chs):
+        match = next((v for v in lin_ws if v.shape[2] == ch), None)
+        assert match is not None, (
+            "No lin head with %d channels for stage %d" % (ch, i))
+        save["lin%d_w" % i] = np.abs(match.reshape(-1))
+        lin_ws.remove(match)
     np.savez(out_path, **save)
     print("Wrote", out_path)
 

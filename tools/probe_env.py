@@ -54,8 +54,12 @@ def main():
     dev = jax.devices()[0]
     print("device: %s  (init %.1fs)" % (dev, time.time() - t0))
 
-    # Unusual prime-ish shape: never in the persistent compile cache.
-    shape = (1009, 509 + int(time.time()) % 7)
+    # Unusual shape, varied widely per run (PID + time), so the probe
+    # cannot go green off the compile cache once a handful of shapes
+    # have been seen.
+    import os as _os
+    shape = (977 + (_os.getpid() + int(time.time())) % 97,
+             509 + int(time.time() * 13) % 89)
 
     def novel_compile():
         t = time.time()
@@ -96,7 +100,9 @@ def main():
         arr = np.ones((64, 512, 512), np.float32)  # 67 MB
         t = time.time()
         d = jax.device_put(arr)
-        d.block_until_ready()
+        # block_until_ready does NOT synchronize on this stack
+        # (utils/timing.py); a scalar fetch is the only honest sync.
+        float(d[0, 0, 0])
         up = time.time() - t
         t = time.time()
         np.asarray(d)
