@@ -85,6 +85,10 @@ def load_weights(npz_path, dtype=jnp.float32):
 
 def _features(params, x):
     """x: NHWC in [-1, 1]. Returns the 5 ReLU feature taps."""
+    assert min(x.shape[1], x.shape[2]) >= 32, (
+        "LPIPS needs inputs >= 32 px: below that the deeper AlexNet "
+        "stages have empty feature maps and the spatial mean is NaN "
+        "(input %s; check imh/imw or lpips_max_res)" % (x.shape,))
     x = (x - jnp.asarray(_SHIFT, x.dtype)) / jnp.asarray(_SCALE, x.dtype)
     feats = []
     for i, ((out_ch, k, stride, pad), conv_p) in enumerate(

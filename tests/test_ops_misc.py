@@ -6,6 +6,7 @@ nlt/util/net.py)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from nlt_tpu.ops import color, cubic_spline, safe_math
 from nlt_tpu.utils import net as netutil
@@ -184,3 +185,37 @@ def test_gaussian_blur_preserves_mean(rng):
     np.testing.assert_allclose(
         float(jnp.mean(y[:, 8:-8, 8:-8])),
         float(jnp.mean(x[:, 8:-8, 8:-8])), atol=0.02)
+
+
+def test_metric_classes():
+    """The evaluation metric classes (counterparts of xm.metric.PSNR/
+    SSIM/LPIPS — reference: xiuminglib/metric.py:105-257)."""
+    rng = np.random.RandomState(7)
+    from nlt_tpu.metrics import LPIPS, PSNR, SSIM
+
+    a = rng.uniform(0, 1, (32, 32, 3)).astype(np.float32)
+    noise = rng.normal(0, 0.05, a.shape).astype(np.float32)
+    b = np.clip(a + noise, 0, 1)
+
+    psnr = PSNR()
+    assert psnr(a, a) == float("inf")
+    v = psnr(a, b)
+    assert 10 < v < 40
+    # Mask restricts the luma MSE to masked pixels.
+    mask = np.zeros((32, 32), bool)
+    mask[:16] = True
+    b_half = a.copy()
+    b_half[16:] += 0.5  # corrupt only the unmasked half
+    assert psnr(a, np.clip(b_half, 0, 1), mask=mask) == float("inf")
+
+    ssim = SSIM()
+    assert ssim(a, a) == pytest.approx(1.0, abs=1e-5)
+    assert ssim(a, b) < 1.0
+
+    lpips = LPIPS()  # deterministic random features (no artifact)
+    assert lpips(a, a) == pytest.approx(0.0, abs=1e-6)
+    assert lpips(a, b) > 0
+    # Sub-32px inputs have empty deep feature maps: loud error, not NaN.
+    tiny = a[:16, :16]
+    with pytest.raises(AssertionError):
+        lpips(tiny, tiny)
