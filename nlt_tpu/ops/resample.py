@@ -96,6 +96,33 @@ def _window_table(img):
     return jnp.concatenate([img, right, down, downright], axis=3)
 
 
+# XLA's flat row gather runs ~6.5 ns/row while the TABLE stays under
+# ~1.5M rows, then falls off a cliff to ~22 ns/row (measured standalone
+# AND in-program: the bs-8 step's take blew up 6.5 -> 54 ms). Queries
+# are group-local (group g's rows live in group g's table slice), so
+# oversized takes are split into contiguous group blocks that each stay
+# under the cliff. Blocks of ~1M rows are optimal: 8-way splitting
+# (262k-row takes) measured 2x slower than 2-way at bs 8.
+_TAKE_MAX_ROWS = 1 << 20
+
+
+def _chunked_take(table, idx, n_groups):
+    n_rows = table.shape[0]
+    if n_groups <= 1 or n_rows <= _TAKE_MAX_ROWS:
+        return jnp.take(table, idx, axis=0)
+    rows_g = n_rows // n_groups
+    q_g = idx.shape[0] // n_groups
+    gpb = max(1, _TAKE_MAX_ROWS // rows_g)
+    outs = []
+    for b0 in range(0, n_groups, gpb):
+        g = min(gpb, n_groups - b0)
+        t = jax.lax.slice_in_dim(table, b0 * rows_g, (b0 + g) * rows_g)
+        i = jax.lax.slice_in_dim(
+            idx, b0 * q_g, (b0 + g) * q_g) - b0 * rows_g
+        outs.append(jnp.take(t, i, axis=0))
+    return jnp.concatenate(outs, axis=0)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def _take_rows(table, idx, n_groups=1):
     """jnp.take(table, idx, axis=0) with a backend-tuned scatter VJP.
@@ -112,11 +139,11 @@ def _take_rows(table, idx, n_groups=1):
 
     `n_groups`: batch contiguity hint forwarded to the kernel (updates
     of group g target only group g's slice of the table)."""
-    return jnp.take(table, idx, axis=0)
+    return _chunked_take(table, idx, n_groups)
 
 
 def _take_rows_fwd(table, idx, n_groups=1):
-    return jnp.take(table, idx, axis=0), (idx, table.shape[0])
+    return _chunked_take(table, idx, n_groups), (idx, table.shape[0])
 
 
 def _take_rows_bwd(n_groups, res, g):
@@ -206,7 +233,7 @@ def _resample_flat(img, warp):
 
 
 def _take_rows_planned_fwd(table, idx, routed, lo, hi, n_groups=1):
-    return jnp.take(table, idx, axis=0), (
+    return _chunked_take(table, idx, n_groups), (
         idx, routed, lo, hi, table.shape[0])
 
 
@@ -230,7 +257,7 @@ def _take_rows_planned_bwd(n_groups, res, g):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def _take_rows_planned(table, idx, routed, lo, hi, n_groups=1):
     """_take_rows with the scatter routing precomputed (make_plan)."""
-    return jnp.take(table, idx, axis=0)
+    return _chunked_take(table, idx, n_groups)
 
 
 _take_rows_planned.defvjp(_take_rows_planned_fwd, _take_rows_planned_bwd)
