@@ -100,10 +100,22 @@ def _window_table(img):
 # ~1.5M rows, then falls off a cliff to ~22 ns/row (measured standalone
 # AND in-program: the bs-8 step's take blew up 6.5 -> 54 ms). Queries
 # are group-local (group g's rows live in group g's table slice), so
-# oversized takes are split into contiguous group blocks that each stay
-# under the cliff. Blocks of ~1M rows are optimal: 8-way splitting
-# (262k-row takes) measured 2x slower than 2-way at bs 8.
-_TAKE_MAX_ROWS = 1 << 20
+# oversized takes CAN be split into contiguous group blocks that each
+# stay under the cliff (~1M rows is optimal: split-2 at 2M rows ran
+# 14.3 vs 47 ms standalone; 8-way was 2x slower than 2-way).
+#
+# DISABLED BY DEFAULT: the full bs-8 training program with chunked
+# takes reproducibly hard-crashed this environment's TPU worker
+# ("worker process crashed"/INTERNAL; the unchunked bs-8 program and
+# every bs<=4 program run fine), and the fault could not be
+# root-caused through the remote tunnel. Every shipped config is
+# bs<=4 per chip (under the cliff; the chunked and unchunked programs
+# are identical there). Set NLT_TPU_TAKE_CHUNK_ROWS=1048576 to enable
+# on a backend where it can be validated.
+import os as _os
+
+_TAKE_MAX_ROWS = int(
+    _os.environ.get("NLT_TPU_TAKE_CHUNK_ROWS", str(1 << 62)))
 
 
 def _chunked_take(table, idx, n_groups):
