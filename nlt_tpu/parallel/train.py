@@ -39,7 +39,7 @@ def init_state(model, tx, key):
 
 
 def make_train_step(model, tx, mesh=None, tile_spatial=False,
-                    with_vis=True, cached_statics=False):
+                    with_vis=True, cached_statics=False, grad_accum=1):
     """Returns train_step(state, batch) -> (state, loss, to_vis).
 
     With cached_statics, the signature is train_step(state, batch,
@@ -47,32 +47,87 @@ def make_train_step(model, tx, mesh=None, tile_spatial=False,
     make_static_extractor: precomputed static ground-truth loss
     features (LPIPS AlexNet taps — models/base.extract_gt_feats) and
     params-independent warp products (models/base.static_products) are
-    reused instead of recomputed, with identical loss and gradients."""
+    reused instead of recomputed, with identical loss and gradients.
+
+    grad_accum > 1 splits the batch into that many microbatches and
+    runs them sequentially under lax.scan, averaging gradients before
+    the single optimizer update — the same gradient as the full batch
+    (mean over examples is grouping-invariant; only the f32 summation
+    order differs). This is how to scale the per-chip batch past the
+    resampler's gather-table cliff (RESULTS.md: XLA's flat row gather
+    degrades 6.5 -> 22.5 ns/row once a take exceeds ~1.5M rows, so a
+    bs-8 512^2 step COLLAPSES to 110 ms where two scanned bs-4
+    microbatches stay on the fast path), without the in-take chunking
+    that crashed this environment's TPU worker (ops/resample.py)."""
 
     stochastic = (hasattr(model, "has_stochastic_loss")
                   and model.has_stochastic_loss())
 
-    def train_step(state, batch, statics=None):
+    def loss_fn(params, batch, statics, step, micro_i):
         gt_feats = statics["feats"] if statics else None
         products = (statics["products"] or None) if statics else None
         apply_kwargs = {"statics": products} if products else {}
+        pred, gt, kwargs, to_vis = model.apply(
+            params, batch, "train", **apply_kwargs)
+        kwargs["keep_batch"] = True
+        if gt_feats:
+            kwargs["gt_feats"] = gt_feats
+        if stochastic:
+            # Fresh ensemble sample per step (E-LPIPS); identical
+            # across replicas since step is replicated. Each
+            # microbatch folds its index in for an independent sample.
+            key = jax.random.fold_in(jax.random.PRNGKey(17), step)
+            if grad_accum > 1:
+                key = jax.random.fold_in(key, micro_i)
+            kwargs["loss_key"] = key
+        per_example = model.compute_loss(params, pred, gt, **kwargs)
+        return jnp.mean(per_example), to_vis
 
-        def loss_fn(params):
-            pred, gt, kwargs, to_vis = model.apply(
-                params, batch, "train", **apply_kwargs)
-            kwargs["keep_batch"] = True
-            if gt_feats:
-                kwargs["gt_feats"] = gt_feats
-            if stochastic:
-                # Fresh ensemble sample per step (E-LPIPS); identical
-                # across replicas since step is replicated.
-                kwargs["loss_key"] = jax.random.fold_in(
-                    jax.random.PRNGKey(17), state["step"])
-            per_example = model.compute_loss(params, pred, gt, **kwargs)
-            return jnp.mean(per_example), to_vis
+    def train_step(state, batch, statics=None):
+        if grad_accum > 1:
+            def split(x):
+                assert x.shape[0] % grad_accum == 0, (
+                    f"batch dim {x.shape[0]} not divisible by "
+                    f"grad_accum={grad_accum}")
+                # Strided split (microbatch i = examples [i::N]): with
+                # the batch block-sharded over the 'data' mesh axis,
+                # each device contributes the same examples to every
+                # microbatch slot, so the reshape needs no resharding
+                # collective (a contiguous split would).
+                micro = x.shape[0] // grad_accum
+                return x.reshape(
+                    (micro, grad_accum) + x.shape[1:]).swapaxes(0, 1)
 
-        (loss, to_vis), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state["params"])
+            micro_batches = jax.tree.map(split, batch)
+            xs = (micro_batches, jax.tree.map(split, statics)
+                  if statics is not None else None)
+
+            def body(carry, xs_i):
+                g_acc, loss_acc, micro_i = carry
+                b_i, s_i = xs_i
+                (loss, to_vis), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(
+                        state["params"], b_i, s_i, state["step"], micro_i)
+                g_acc = jax.tree.map(jnp.add, g_acc, grads)
+                return (g_acc, loss_acc + loss, micro_i + 1), to_vis
+
+            zero_g = jax.tree.map(jnp.zeros_like, state["params"])
+            carry0 = (zero_g, jnp.zeros(()), jnp.zeros((), jnp.int32))
+            (g_sum, loss_sum, _), vis_stacked = jax.lax.scan(
+                body, carry0, xs)
+            grads = jax.tree.map(lambda g: g / grad_accum, g_sum)
+            loss = loss_sum / grad_accum
+            # (N, micro, ...) -> (bs, ...), inverting the strided
+            # split: vis for the whole batch in original order.
+            to_vis = jax.tree.map(
+                lambda x: x.swapaxes(0, 1).reshape(
+                    (x.shape[0] * x.shape[1],) + x.shape[2:]),
+                vis_stacked)
+        else:
+            (loss, to_vis), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(
+                    state["params"], batch, statics, state["step"],
+                    jnp.zeros((), jnp.int32))
         updates, opt_state = tx.update(
             grads, state["opt_state"], state["params"])
         params = optax.apply_updates(state["params"], updates)

@@ -151,10 +151,21 @@ def main(argv=None):
     logger.info("For results, see:\n\t%s", outdir)
     copyfile(config_ini, outdir.rstrip("/") + ".ini")
 
+    # grad_accum=N scans N sequential microbatches of bs/N inside the
+    # jitted step and applies ONE averaged update — the bs gradient at
+    # the microbatch's memory/gather footprint (parallel/train.py).
+    grad_accum = config.get_int("grad_accum", 1)
+    if grad_accum > 1:
+        assert config.get_int("bs") % grad_accum == 0, \
+            "bs must be divisible by grad_accum"
+        logger.info("Gradient accumulation: %d microbatches of %d",
+                    grad_accum, config.get_int("bs") // grad_accum)
+
     # Mesh over all devices: data-parallel batch axis (+ optional tile),
-    # clamped so the data axis divides the batch size.
+    # clamped so the data axis divides the (micro)batch size.
     mesh = mesh_mod.make_mesh(
-        n_tile=args.n_tile, batch_size=config.get_int("bs"))
+        n_tile=args.n_tile,
+        batch_size=config.get_int("bs") // grad_accum)
     logger.info("Mesh: %s over %d devices", mesh.shape, len(jax.devices()))
     tile_spatial = args.n_tile > 1
 
@@ -197,7 +208,8 @@ def main(argv=None):
     state, epoch_restored = manager.restore(state)
 
     train_step = train_mod.make_train_step(
-        model, tx, mesh=mesh, tile_spatial=tile_spatial)
+        model, tx, mesh=mesh, tile_spatial=tile_spatial,
+        grad_accum=grad_accum)
     eval_step = train_mod.make_eval_step(
         model, mesh=mesh, tile_spatial=tile_spatial)
 
@@ -225,7 +237,7 @@ def main(argv=None):
                 dataset_train.files)
             train_step_cached = train_mod.make_train_step(
                 model, tx, mesh=mesh, tile_spatial=tile_spatial,
-                cached_statics=True)
+                cached_statics=True, grad_accum=grad_accum)
             extract_statics = train_mod.make_static_extractor(model)
 
     # Summary writers + vis dir templates (reference: trainvali.py:144-161).

@@ -158,3 +158,93 @@ def test_global_batch_from_local(rng):
     assert global_batch["base"].shape == (8, UVH, UVH, 3)
     np.testing.assert_allclose(
         np.asarray(global_batch["base"]), batch["base"])
+
+
+def test_grad_accum_matches_full_batch(rng):
+    """grad_accum=2 produces the same loss, updated params, and vis
+    (in original batch order) as the plain full-batch step — the mean
+    gradient is grouping-invariant."""
+    model = get_model_class("nlt")(small_config())
+    tx = train_mod.make_optimizer(1e-3)
+    batch = make_batch(rng)
+    arrays = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    state = train_mod.init_state(model, tx, jax.random.PRNGKey(0))
+    step = train_mod.make_train_step(model, tx)
+    state_full, loss_full, vis_full = step(state, arrays)
+
+    state = train_mod.init_state(model, tx, jax.random.PRNGKey(0))
+    step_acc = train_mod.make_train_step(model, tx, grad_accum=2)
+    state_acc, loss_acc, vis_acc = step_acc(state, arrays)
+
+    np.testing.assert_allclose(float(loss_full), float(loss_acc),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(state_full["params"]),
+                    jax.tree.leaves(state_acc["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6)
+    # Vis re-assembled in original batch order (inverts the strided
+    # microbatch split).
+    np.testing.assert_allclose(
+        np.asarray(vis_full["pred"]), np.asarray(vis_acc["pred"]),
+        atol=1e-6)
+
+
+def test_grad_accum_cached_statics(rng):
+    """grad_accum composes with the static-products cache: statics are
+    split along the same microbatch axis as the batch."""
+    model = get_model_class("nlt")(small_config())
+    tx = train_mod.make_optimizer(1e-3)
+    batch = make_batch(rng)
+    arrays = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    state0 = train_mod.init_state(model, tx, jax.random.PRNGKey(0))
+    extract = train_mod.make_static_extractor(model)
+    statics = extract(state0["params"], arrays)
+
+    step_plain = train_mod.make_train_step(
+        model, tx, cached_statics=True)
+    state_p, loss_p, _ = step_plain(
+        train_mod.init_state(model, tx, jax.random.PRNGKey(0)),
+        arrays, statics)
+
+    step_acc = train_mod.make_train_step(
+        model, tx, cached_statics=True, grad_accum=4)
+    state_a, loss_a, _ = step_acc(
+        train_mod.init_state(model, tx, jax.random.PRNGKey(0)),
+        arrays, statics)
+
+    np.testing.assert_allclose(float(loss_p), float(loss_a), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(state_p["params"]),
+                    jax.tree.leaves(state_a["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6)
+
+
+def test_grad_accum_data_parallel(rng):
+    """grad_accum under the 'data' mesh: microbatches stay block-local
+    to their devices (strided split) and the result matches the
+    single-device full-batch step."""
+    model = get_model_class("nlt")(small_config())
+    tx = train_mod.make_optimizer(1e-3)
+    batch = make_batch(rng)
+    arrays = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    state1 = train_mod.init_state(model, tx, jax.random.PRNGKey(0))
+    step1 = train_mod.make_train_step(model, tx)
+    state1, loss1, _ = step1(state1, arrays)
+
+    # micro batch = 8/2 = 4 -> clamp the data axis to 4 devices.
+    mesh = mesh_mod.make_mesh(batch_size=4)
+    assert mesh.shape["data"] == 4
+    state8 = train_mod.init_state(model, tx, jax.random.PRNGKey(0))
+    state8 = jax.device_put(state8, mesh_mod.replicated(mesh))
+    step8 = train_mod.make_train_step(model, tx, mesh=mesh, grad_accum=2)
+    sharded = mesh_mod.shard_batch(mesh, batch)
+    state8, loss8, _ = step8(state8, sharded)
+
+    np.testing.assert_allclose(float(loss1), float(loss8), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(state1["params"]),
+                    jax.tree.leaves(state8["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6)

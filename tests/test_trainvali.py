@@ -253,3 +253,18 @@ def test_serve_and_infer_with_device_normalize(trained, scene_root,
     assert batch["base"].dtype == np.uint8
     out = server.predict(batch)
     assert np.all(np.isfinite(out["pred_camspc"]))
+
+
+def test_trainvali_grad_accum(tmp_path, scene_root):
+    """Full driver run with grad_accum=2 (+ the static cache): scanned
+    microbatch steps train, checkpoint, and write vis end to end."""
+    from nlt_tpu import trainvali
+    ini = write_ini(tmp_path, scene_root, epochs=1, grad_accum=2,
+                    loss="barron", lpips_cache_gt=True,
+                    xname="gradaccum")
+    outdir = trainvali.main(["--config", ini])
+    scalars = join(outdir, "summary_train", "scalars.jsonl")
+    recs = [json.loads(line) for line in open(scalars)]
+    assert any(r["tag"] == "loss_train" for r in recs)
+    vis = glob(join(outdir, "vis_train", "epoch*", "batch*"))
+    assert vis
