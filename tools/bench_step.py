@@ -42,6 +42,9 @@ def main():
     p.add_argument("--losses", type=str, nargs="+",
                    default=["barron", "barron,1e+0lpips"])
     p.add_argument("--lpips_max_res", type=int, default=None)
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="scan this many microbatches per update "
+                        "(bs must divide; parallel/train.py)")
     p.add_argument("--cached_gt", action="store_true",
                    help="also time the cached-gt-feats step variant "
                         "(steady-state epochs >= 1 with lpips_cache_gt)")
@@ -69,12 +72,14 @@ def main():
                     term.max_res = args.lpips_max_res
         tx = train_mod.make_optimizer(1e-3)
         state = train_mod.init_state(model, tx, jax.random.PRNGKey(0))
-        step = train_mod.make_train_step(model, tx, with_vis=False)
+        step = train_mod.make_train_step(
+            model, tx, with_vis=False, grad_accum=args.grad_accum)
 
         variants = [("", step, ())]
         if args.cached_gt:
             step_cached = train_mod.make_train_step(
-                model, tx, with_vis=False, cached_statics=True)
+                model, tx, with_vis=False, cached_statics=True,
+                grad_accum=args.grad_accum)
             extract = train_mod.make_static_extractor(model)
             statics = extract(state["params"], batch)
             jax.block_until_ready(statics)
