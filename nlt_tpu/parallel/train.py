@@ -39,7 +39,8 @@ def init_state(model, tx, key):
 
 
 def make_train_step(model, tx, mesh=None, tile_spatial=False,
-                    with_vis=True, cached_statics=False, grad_accum=1):
+                    with_vis=True, cached_statics=False, grad_accum=1,
+                    nan_guard=False):
     """Returns train_step(state, batch) -> (state, loss, to_vis).
 
     With cached_statics, the signature is train_step(state, batch,
@@ -58,7 +59,14 @@ def make_train_step(model, tx, mesh=None, tile_spatial=False,
     degrades 6.5 -> 22.5 ns/row once a take exceeds ~1.5M rows, so a
     bs-8 512^2 step COLLAPSES to 110 ms where two scanned bs-4
     microbatches stay on the fast path), without the in-take chunking
-    that crashed this environment's TPU worker (ops/resample.py)."""
+    that crashed this environment's TPU worker (ops/resample.py).
+
+    nan_guard skips the parameter/optimizer update (params and
+    opt_state keep their previous values; step still increments) when
+    the loss or any gradient is non-finite — one bad batch cannot
+    poison a long production run. The reference has no such failure
+    detection in its train loop (SURVEY.md §5); the non-finite loss
+    still reaches the scalar logs, so the event is visible."""
 
     stochastic = (hasattr(model, "has_stochastic_loss")
                   and model.has_stochastic_loss())
@@ -131,6 +139,14 @@ def make_train_step(model, tx, mesh=None, tile_spatial=False,
         updates, opt_state = tx.update(
             grads, state["opt_state"], state["params"])
         params = optax.apply_updates(state["params"], updates)
+        if nan_guard:
+            ok = jnp.isfinite(loss)
+            for g in jax.tree.leaves(grads):
+                ok = jnp.logical_and(ok, jnp.all(jnp.isfinite(g)))
+            params, opt_state = jax.tree.map(
+                lambda new, old: jnp.where(ok, new, old),
+                (params, opt_state),
+                (state["params"], state["opt_state"]))
         new_state = {
             "params": params,
             "opt_state": opt_state,

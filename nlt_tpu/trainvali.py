@@ -207,9 +207,13 @@ def main(argv=None):
     manager = ckpt_mod.CheckpointManager(ckptdir, max_to_keep=keep_recent)
     state, epoch_restored = manager.restore(state)
 
+    # nan_guard=True keeps params/opt_state unchanged on any step whose
+    # loss or gradients are non-finite (the loss still reaches the
+    # scalar logs) — failure detection the reference lacks (SURVEY §5).
+    nan_guard = config.get_bool("nan_guard", False)
     train_step = train_mod.make_train_step(
         model, tx, mesh=mesh, tile_spatial=tile_spatial,
-        grad_accum=grad_accum)
+        grad_accum=grad_accum, nan_guard=nan_guard)
     eval_step = train_mod.make_eval_step(
         model, mesh=mesh, tile_spatial=tile_spatial)
 
@@ -237,7 +241,8 @@ def main(argv=None):
                 dataset_train.files)
             train_step_cached = train_mod.make_train_step(
                 model, tx, mesh=mesh, tile_spatial=tile_spatial,
-                cached_statics=True, grad_accum=grad_accum)
+                cached_statics=True, grad_accum=grad_accum,
+                nan_guard=nan_guard)
             extract_statics = train_mod.make_static_extractor(model)
 
     # Summary writers + vis dir templates (reference: trainvali.py:144-161).
@@ -385,6 +390,13 @@ def main(argv=None):
         # is epoch wall time / batches.
         jax.block_until_ready(batch_loss[-1])
         batch_loss = [float(x) for x in batch_loss]
+        n_bad = sum(1 for x in batch_loss if not np.isfinite(x))
+        if n_bad:
+            logger.warn(
+                "%d/%d batches had non-finite loss%s", n_bad,
+                len(batch_loss),
+                " (updates skipped: nan_guard)" if nan_guard
+                else " (set nan_guard=True to skip such updates)")
         batch_time = [(time.time() - epoch_t0) / len(batch_time)]
 
         step = epoch_i + 1

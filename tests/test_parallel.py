@@ -248,3 +248,44 @@ def test_grad_accum_data_parallel(rng):
                     jax.tree.leaves(state8["params"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-6)
+
+
+def test_nan_guard_skips_bad_update(rng):
+    """A batch that produces a non-finite loss leaves params/opt_state
+    untouched under nan_guard=True (and poisons them without it)."""
+    model = get_model_class("nlt")(small_config())
+    tx = train_mod.make_optimizer(1e-3)
+    batch = make_batch(rng)
+    bad = dict(batch)
+    # NaN in the diffuse base reaches the net input AND the residual
+    # skip: loss and gradients both go non-finite.
+    bad["base"] = np.full_like(batch["base"], np.nan)
+    arrays = {k: jnp.asarray(v) for k, v in bad.items()}
+
+    state0 = train_mod.init_state(model, tx, jax.random.PRNGKey(0))
+    p0 = jax.tree.map(np.asarray, state0["params"])
+
+    step_guarded = train_mod.make_train_step(model, tx, nan_guard=True)
+    state_g, loss_g, _ = step_guarded(
+        train_mod.init_state(model, tx, jax.random.PRNGKey(0)), arrays)
+    assert not np.isfinite(float(loss_g))  # the event stays visible
+    assert int(state_g["step"]) == 1
+    for a, b in zip(jax.tree.leaves(p0),
+                    jax.tree.leaves(state_g["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    step_plain = train_mod.make_train_step(model, tx)
+    state_p, _, _ = step_plain(
+        train_mod.init_state(model, tx, jax.random.PRNGKey(0)), arrays)
+    assert any(not np.all(np.isfinite(np.asarray(leaf)))
+               for leaf in jax.tree.leaves(state_p["params"]))
+
+    # A good batch under the guard still updates.
+    good = {k: jnp.asarray(v) for k, v in batch.items()}
+    state_g2, loss2, _ = step_guarded(state_g, good)
+    assert np.isfinite(float(loss2))
+    changed = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(p0),
+                        jax.tree.leaves(state_g2["params"])))
+    assert changed
