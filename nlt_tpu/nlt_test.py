@@ -59,13 +59,17 @@ def restore_model(config, ckpt_dir, step=None):
     model = ModelCls(config)
     tx = train_mod.make_optimizer(config.get_float("lr"),
                               config.get_float("mgm", -1))
-    state = train_mod.init_state(model, tx, jax.random.PRNGKey(0))
+    state = train_mod.init_state(
+        model, tx, jax.random.PRNGKey(0),
+        ema_decay=config.get_float("ema_decay", 0.0))
     manager = ckpt_mod.CheckpointManager(ckpt_dir)
     state, restored = manager.restore(state, step=step)
     if restored == 0:
         logger.warn("No checkpoint found under %s; using fresh init",
                     ckpt_dir)
     manager.close()
+    # Inference prefers the EMA weights when the run kept them.
+    state = dict(state, params=train_mod.ema_params_of(state))
     return model, state
 
 

@@ -29,18 +29,30 @@ def make_optimizer(lr, mgm=-1.0):
     return tx
 
 
-def init_state(model, tx, key):
+def init_state(model, tx, key, ema_decay=0.0):
     params = model.init_params(key)
-    return {
+    state = {
         "params": params,
         "opt_state": tx.init(params),
         "step": jnp.zeros((), jnp.int32),
     }
+    if ema_decay and ema_decay > 0:
+        # Exponential moving average of params, updated by the train
+        # step and preferred at eval/serve time (ema_decay config key).
+        # Lives in the state pytree, so it is checkpointed/restored.
+        state["ema_params"] = jax.tree.map(jnp.array, params)
+    return state
+
+
+def ema_params_of(state):
+    """The parameters to evaluate/serve with: the EMA if the state
+    carries one, else the raw params."""
+    return state.get("ema_params", state["params"])
 
 
 def make_train_step(model, tx, mesh=None, tile_spatial=False,
                     with_vis=True, cached_statics=False, grad_accum=1,
-                    nan_guard=False):
+                    nan_guard=False, ema_decay=0.0):
     """Returns train_step(state, batch) -> (state, loss, to_vis).
 
     With cached_statics, the signature is train_step(state, batch,
@@ -152,6 +164,13 @@ def make_train_step(model, tx, mesh=None, tile_spatial=False,
             "opt_state": opt_state,
             "step": state["step"] + 1,
         }
+        if "ema_params" in state:
+            d = jnp.asarray(ema_decay, jnp.float32)
+            new_state["ema_params"] = jax.tree.map(
+                lambda e, p: (d * e.astype(jnp.float32)
+                              + (1 - d) * p.astype(jnp.float32)
+                              ).astype(e.dtype),
+                state["ema_params"], params)
         if with_vis:
             return new_state, loss, to_vis
         return new_state, loss
@@ -195,11 +214,12 @@ def make_eval_step(model, mesh=None, tile_spatial=False):
     jax.jit's shape-keyed cache)."""
 
     def eval_step(state, batch):
+        # Evaluate the EMA weights when the run keeps them (ema_decay).
         pred, gt, kwargs, to_vis = model.apply(
-            state["params"], batch, "vali")
+            ema_params_of(state), batch, "vali")
         kwargs["keep_batch"] = True
         per_example = model.compute_loss(
-            state["params"], pred, gt, **kwargs)
+            ema_params_of(state), pred, gt, **kwargs)
         return jnp.mean(per_example), to_vis
 
     del mesh, tile_spatial  # sharding follows the data (see above)

@@ -198,7 +198,11 @@ def main(argv=None):
     lr = config.get_float("lr")
     mgm = config.get_float("mgm", -1)
     tx = train_mod.make_optimizer(lr, mgm)
-    state = train_mod.init_state(model, tx, jax.random.PRNGKey(0))
+    # ema_decay > 0 keeps an exponential moving average of the params
+    # in the state (checkpointed); validation/serving prefer it.
+    ema_decay = config.get_float("ema_decay", 0.0)
+    state = train_mod.init_state(
+        model, tx, jax.random.PRNGKey(0), ema_decay=ema_decay)
     state = jax.device_put(state, mesh_mod.replicated(mesh))
 
     # Checkpoint restore (epoch counter in the ckpt step number).
@@ -213,7 +217,7 @@ def main(argv=None):
     nan_guard = config.get_bool("nan_guard", False)
     train_step = train_mod.make_train_step(
         model, tx, mesh=mesh, tile_spatial=tile_spatial,
-        grad_accum=grad_accum, nan_guard=nan_guard)
+        grad_accum=grad_accum, nan_guard=nan_guard, ema_decay=ema_decay)
     eval_step = train_mod.make_eval_step(
         model, mesh=mesh, tile_spatial=tile_spatial)
 
@@ -242,7 +246,7 @@ def main(argv=None):
             train_step_cached = train_mod.make_train_step(
                 model, tx, mesh=mesh, tile_spatial=tile_spatial,
                 cached_statics=True, grad_accum=grad_accum,
-                nan_guard=nan_guard)
+                nan_guard=nan_guard, ema_decay=ema_decay)
             extract_statics = train_mod.make_static_extractor(model)
 
     # Summary writers + vis dir templates (reference: trainvali.py:144-161).

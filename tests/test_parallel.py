@@ -289,3 +289,38 @@ def test_nan_guard_skips_bad_update(rng):
         for a, b in zip(jax.tree.leaves(p0),
                         jax.tree.leaves(state_g2["params"])))
     assert changed
+
+
+def test_ema_params_track_updates(rng):
+    """state['ema_params'] = d*ema + (1-d)*params after each step, and
+    eval_step consumes the EMA weights."""
+    model = get_model_class("nlt")(small_config())
+    tx = train_mod.make_optimizer(1e-2)
+    batch = make_batch(rng)
+    arrays = {k: jnp.asarray(v) for k, v in batch.items()}
+    d = 0.9
+
+    state = train_mod.init_state(
+        model, tx, jax.random.PRNGKey(0), ema_decay=d)
+    p0 = jax.tree.map(np.asarray, state["params"])
+    step = train_mod.make_train_step(model, tx, ema_decay=d)
+    state, _, _ = step(state, arrays)
+
+    for e, a, b in zip(jax.tree.leaves(state["ema_params"]),
+                       jax.tree.leaves(p0),
+                       jax.tree.leaves(state["params"])):
+        np.testing.assert_allclose(
+            np.asarray(e), d * np.asarray(a) + (1 - d) * np.asarray(b),
+            rtol=1e-5, atol=1e-7)
+
+    # Eval consumes the EMA: with ema_params forced to the INITIAL
+    # params, eval must match a no-EMA state holding those params.
+    eval_step = train_mod.make_eval_step(model)
+    state_forced = dict(state, ema_params=jax.tree.map(
+        jnp.asarray, p0))
+    loss_forced, _ = eval_step(state_forced, arrays)
+    state_plain = train_mod.init_state(
+        model, tx, jax.random.PRNGKey(0))
+    loss_init, _ = eval_step(state_plain, arrays)
+    np.testing.assert_allclose(
+        float(loss_forced), float(loss_init), rtol=1e-6)

@@ -9,6 +9,7 @@ import sys
 from glob import glob
 from os.path import join
 
+import jax
 import numpy as np
 import pytest
 
@@ -268,3 +269,22 @@ def test_trainvali_grad_accum(tmp_path, scene_root):
     assert any(r["tag"] == "loss_train" for r in recs)
     vis = glob(join(outdir, "vis_train", "epoch*", "batch*"))
     assert vis
+
+
+def test_trainvali_ema(tmp_path, scene_root):
+    """ema_decay: the EMA pytree is trained, checkpointed, restored,
+    and preferred by the inference driver."""
+    from nlt_tpu import nlt_test, trainvali
+    from nlt_tpu.parallel import train as train_mod
+    from nlt_tpu.utils import config as config_mod
+    ini = write_ini(tmp_path, scene_root, epochs=1, ema_decay=0.99,
+                    xname="emarun")
+    outdir = trainvali.main(["--config", ini])
+    config = config_mod.read_config(ini)
+    model, state = nlt_test.restore_model(
+        config, join(outdir, "checkpoints"))
+    assert "ema_params" in state
+    # restore_model must hand out the EMA weights as the params.
+    for a, b in zip(jax.tree.leaves(state["params"]),
+                    jax.tree.leaves(state["ema_params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
