@@ -124,6 +124,13 @@ def initialize_distributed(coordinator_address=None, num_processes=None,
     if num_processes is None or num_processes <= 1:
         logger.info("Single-process run; skipping jax.distributed init")
         return
+    platforms = (jax.config.jax_platforms or "")
+    if platforms.split(",")[0] == "cpu":
+        # Cross-process collectives on the CPU backend need an explicit
+        # implementation (TPU ICI/DCN handles this natively). Lets the
+        # full multi-host driver run as N local processes — the test
+        # rig for pod-slice runs (tests/test_multihost.py).
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

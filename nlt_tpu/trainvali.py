@@ -147,9 +147,18 @@ def main(argv=None):
     outroot = config.get("outroot")
     outdir = join(outroot, xname)
     overwrite = config.get_bool("overwrite")
-    ioutil.prepare_outdir(outdir, overwrite=overwrite)
+    if jax.process_index() == 0:
+        # Host 0 owns outdir preparation: a concurrent rmtree from
+        # every host of a pod slice would race the others' writes.
+        ioutil.prepare_outdir(outdir, overwrite=overwrite)
+        copyfile(config_ini, outdir.rstrip("/") + ".ini")
+    if is_multiprocess:
+        # Everyone waits for host 0's (possibly destructive) prep
+        # before touching the shared tree.
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("nlt_tpu:outdir_prep")
+        os.makedirs(outdir, exist_ok=True)
     logger.info("For results, see:\n\t%s", outdir)
-    copyfile(config_ini, outdir.rstrip("/") + ".ini")
 
     # grad_accum=N scans N sequential microbatches of bs/N inside the
     # jitted step and applies ONE averaged update — the bs gradient at
@@ -434,12 +443,14 @@ def main(argv=None):
                 model.vis_batch(
                     to_vis, vis_dir, mode="train", dump_raw_to=raw_f)
                 vis_dirs.append(vis_dir)
-            comp_f = join(train_vis_epoch_dir.format(e=step), "all")
-            view_at = model.compile_batch_vis(vis_dirs, comp_f, mode="train")
-            if view_at is not None:
-                writer_train.text("vis_train", view_at, step)
-            maintain_epoch_queue(
-                train_deque, train_vis_epoch_dir.format(e=step))
+            if vis_dirs:
+                comp_f = join(train_vis_epoch_dir.format(e=step), "all")
+                view_at = model.compile_batch_vis(
+                    vis_dirs, comp_f, mode="train")
+                if view_at is not None:
+                    writer_train.text("vis_train", view_at, step)
+                maintain_epoch_queue(
+                    train_deque, train_vis_epoch_dir.format(e=step))
 
         # ---- validation ----
         if vali_batches and vali_period > 0 and step % vali_period == 0:
