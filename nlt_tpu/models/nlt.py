@@ -108,7 +108,18 @@ class Model(BaseModel):
         # resampling, losses) stays float32.
         self.compute_dtype = jnp.dtype(
             config.get("compute_dtype", "float32"))
+        # remat=True rematerializes each U-Net stage's activations in
+        # the backward pass (jax.checkpoint) instead of keeping them in
+        # HBM — identical numerics, ~stage-depth× smaller activation
+        # footprint, extra forward FLOPs. The standard TPU trade for
+        # training past HBM at high uvh/depth/batch.
+        self.remat = config.get_bool("remat", False)
         self.psnr = PSNR(np.float32)
+
+    def _stage_apply(self, stage, p, x):
+        if self.remat:
+            return jax.checkpoint(stage.apply)(p, x)
+        return stage.apply(p, x)
 
     def _init_loss(self):
         """Barron needs image dims, so override the base
@@ -339,7 +350,7 @@ class Model(BaseModel):
                 zip(query.stages, query.is_contracting)):
             if contracting:
                 obs_ys = [
-                    obs.stages[obs_i].apply(o_params[obs_i], t)
+                    self._stage_apply(obs.stages[obs_i], o_params[obs_i], t)
                     for t in obs_xs]
                 # Mean-aggregate observation features
                 # (reference: nlt/models/nlt.py:161-164). A single
@@ -358,7 +369,7 @@ class Model(BaseModel):
                 obs_xs = obs_ys
                 obs_i += 1
 
-                query_y = stage.apply(q_params[i], query_x)
+                query_y = self._stage_apply(stage, q_params[i], query_x)
                 if self.use_obs:
                     if obs_override is not None:
                         obs_agg = obs_override[i]
@@ -370,7 +381,7 @@ class Model(BaseModel):
                 if query_featmaps:
                     enc = query_featmaps.pop()
                     query_x = jnp.concatenate((query_x, enc), axis=-1)
-                query_y = stage.apply(q_params[i], query_x)
+                query_y = self._stage_apply(stage, q_params[i], query_x)
                 query_x = query_y
         return query_y
 

@@ -177,3 +177,26 @@ def test_barron_lpips_config(rng):
     assert np.isfinite(float(loss))
     leaves = jax.tree.leaves(g["net"])
     assert any(float(jnp.abs(x).max()) > 0 for x in leaves)
+
+
+def test_remat_identical_outputs_and_grads(model, params, rng):
+    """remat=True (per-stage jax.checkpoint) changes memory, not math:
+    outputs and gradients match the plain model."""
+    model_r = get_model_class("nlt")(small_config(remat=True))
+    batch = make_batch(rng)
+
+    pred, _, _, _ = model.apply(params, batch, "train")
+    pred_r, _, _, _ = model_r.apply(params, batch, "train")
+    np.testing.assert_allclose(
+        np.asarray(pred), np.asarray(pred_r), atol=1e-6)
+
+    def loss_of(m):
+        def f(p):
+            pr, gt, kw, _ = m.apply(p, batch, "train")
+            return jnp.mean(m.compute_loss(p, pr, gt, **kw))
+        return jax.grad(f)(params)
+
+    g, g_r = loss_of(model), loss_of(model_r)
+    for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(g_r)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6)
