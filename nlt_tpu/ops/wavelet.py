@@ -270,7 +270,11 @@ def visualize(pyr, percentile=99.0):
         vis_band = []
         for b in range(3):
             band = pyr[d][b]
-            max_mag = jnp.percentile(jnp.abs(band), percentile)
+            # 'nearest' matches tfp.stats.percentile's default
+            # interpolation; with it this function reproduces the
+            # reference's wavelet_vis_golden.png bit-exactly.
+            max_mag = jnp.percentile(
+                jnp.abs(band), percentile, method="nearest")
             vis_band.append(
                 0.5 * (1.0 + jnp.clip(band / max_mag, -1.0, 1.0)))
         vis_pyr.append(tuple(vis_band))
