@@ -215,3 +215,27 @@ def test_lpips_max_res_downsamples(rng):
     d_half = float(lp_half(params, x, y))
     assert d_half > 0
     assert 0.2 < d_half / d_full < 5.0
+
+
+def test_lpips_randfeat_matches_golden():
+    """Pin the deterministic random-feature LPIPS numerics (seed 0).
+
+    Canonical net-lin_alex_v0.1 weights are an external download the
+    hermetic image cannot reach (PARITY.md records the attempts), so
+    every training run uses this seeded random-feature network; this
+    golden keeps its values from silently drifting across refactors.
+    """
+    import os
+    golden = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "golden",
+        "lpips_randfeat_golden.npz")
+    from nlt_tpu.losses import lpips as lpips_mod
+    params = lpips_mod.init_params(jax.random.PRNGKey(0))
+    with np.load(golden) as f:
+        d = lpips_mod.lpips(
+            params, jnp.asarray(f["img0"]), jnp.asarray(f["img1"]))
+        np.testing.assert_allclose(np.asarray(d), f["dist"], atol=1e-6)
+        # Identity of indiscernibles holds exactly for the cached path.
+        d_self = lpips_mod.lpips(
+            params, jnp.asarray(f["img0"]), jnp.asarray(f["img0"]))
+        np.testing.assert_allclose(np.asarray(d_self), 0.0, atol=1e-8)
