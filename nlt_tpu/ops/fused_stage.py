@@ -1,0 +1,462 @@
+"""Fused U-Net stage kernels: (conv k2s2 -> lrelu -> conv k2s1 -> lrelu)
+and the mirrored expanding (deconv k2s2 -> lrelu -> deconv k2s1 -> lrelu)
+as single Pallas programs.
+
+Why: the production convs lower to space-to-depth einsums + shifted
+matmuls (networks/elements.py) whose (k, q, c)-contiguous operands force
+XLA relayout copies between every matmul — measured at ~45% of the
+cached flagship step (RESULTS.md round-1 profile: s2 relayouts ~8 ms,
+deconv ~3.8, s1 ~2.1, lrelu ~1.25 of 33.8 ms). Fusing a whole stage
+into one VMEM residency removes the inter-op HBM round trips and the
+relayouts: the stride-2 conv is two row-parity matmuls on a FREE
+(N, H/2, 2, W/2, 2C) view of the NHWC buffer, the stride-1 conv runs
+on the VMEM-resident intermediate with sublane shifts, and the one
+cross-block dependency (a halo row) is a second BlockSpec over the
+same operand with a shifted index map.
+
+Reference roles: the cuDNN convs behind the Keras layers
+(reference: nlt/networks/elements.py:26-48) composed per stage by
+nlt/networks/convnet.py:31-90.
+
+Gradients: jax.custom_vjp. The forward kernel also emits the
+intermediate activation y1, so the hand-derived backward (XLA einsums,
+same shifted-matmul machinery as the unfused path) needs no
+recomputation. Backward numerics are pinned against autodiff of the
+reference formulation in tests/test_fused_stage.py.
+
+Activation convention: the backward masks use ``y > 0 ? 1 : slope``,
+which matches jax.nn.leaky_relu's gradient except on the measure-zero
+set {z == 0}.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+
+def _lrelu(x, slope):
+    return jnp.where(x >= 0, x, slope * x)
+
+
+def _lrelu_mask(y, slope):
+    return jnp.where(y > 0, jnp.asarray(1.0, y.dtype),
+                     jnp.asarray(slope, y.dtype))
+
+
+def _pick_bh(h_blocks_total, row_bytes, budget=(1 << 23), cap=32):
+    """Largest divisor of h_blocks_total with row_bytes*bh under budget.
+
+    row_bytes must estimate the kernel's FULL per-row VMEM footprint
+    (double-buffered input blocks + intermediates + f32 accumulators);
+    Mosaic stack-allocates all of it against a 16 MB scoped limit, so
+    the budget stays at half that.
+    """
+    bh = max(1, min(cap, budget // max(row_bytes, 1), h_blocks_total))
+    while h_blocks_total % bh:
+        bh -= 1
+    return bh
+
+
+def _contract_row_bytes(w2_len, c2, o, itemsize):
+    # Empirical: the 512^2 c2=64 o=32 f32 kernel measured ~1.03 MB/row
+    # of scoped VMEM at bh=16, ~2.2x the naive operand count. The 9x
+    # multiplier below (vs 4 bytes) bakes that in.
+    return w2_len * (2 * c2 + 10 * o) * 9 * max(itemsize // 4, 1)
+
+
+def _expand_row_bytes(w_len, c, o, itemsize):
+    return w_len * (c + 20 * o) * 9 * max(itemsize // 4, 1)
+
+
+# ---------------------------------------------------------------------------
+# Contracting stage: y2 = lrelu(conv_k2s1(lrelu(conv_k2s2(x) + b1)) + b2)
+# ---------------------------------------------------------------------------
+
+
+def _contract_kernel(x_ref, xh_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                     y2_ref, y1_ref, *, bh, w2_len, c2, c_out, slope):
+    f32 = jnp.float32
+    xm = x_ref[0]        # (bh, 2, W2, C2)
+    xh = xh_ref[0]       # (1, 2, W2, C2) — next block's first row-pair
+    w1 = w1_ref[...]     # (2, C2, O)
+    b1 = b1_ref[...]     # (1, O)
+    b2 = b2_ref[...]     # (1, O)
+    odt = y2_ref.dtype
+
+    def s2_rows(xpair, rows):
+        # row-parity matmuls: even rows @ w1[0] + odd rows @ w1[1]
+        z = jnp.dot(xpair[:, 0].reshape(rows * w2_len, c2), w1[0],
+                    preferred_element_type=f32)
+        z = z + jnp.dot(xpair[:, 1].reshape(rows * w2_len, c2), w1[1],
+                        preferred_element_type=f32)
+        z = z + b1.astype(f32)
+        return _lrelu(z, slope).reshape(rows, w2_len, c_out).astype(odt)
+
+    y1m = s2_rows(xm, bh)                      # (bh, W2, O)
+    y1h = s2_rows(xh, 1)                       # (1, W2, O)
+    is_last = pl.program_id(1) == pl.num_programs(1) - 1
+    y1h = jnp.where(is_last, jnp.zeros_like(y1h), y1h)
+    y1e = jnp.concatenate([y1m, y1h], axis=0)  # (bh+1, W2, O)
+
+    def jshift(a):  # a[:, j] <- a[:, j+1], zero beyond the right edge
+        return jnp.concatenate(
+            [a[:, 1:], jnp.zeros_like(a[:, :1])], axis=1)
+
+    a00 = y1e[:bh]
+    a10 = y1e[1:]
+    a01 = jshift(a00)
+    a11 = jshift(a10)
+    w2k = w2_ref[...]    # (2, 2, O, O)
+    z2 = jnp.dot(a00.reshape(bh * w2_len, c_out), w2k[0, 0],
+                 preferred_element_type=f32)
+    z2 = z2 + jnp.dot(a01.reshape(bh * w2_len, c_out), w2k[0, 1],
+                      preferred_element_type=f32)
+    z2 = z2 + jnp.dot(a10.reshape(bh * w2_len, c_out), w2k[1, 0],
+                      preferred_element_type=f32)
+    z2 = z2 + jnp.dot(a11.reshape(bh * w2_len, c_out), w2k[1, 1],
+                      preferred_element_type=f32)
+    z2 = z2 + b2.astype(f32)
+    y2_ref[0] = _lrelu(z2, slope).reshape(bh, w2_len, c_out).astype(odt)
+    y1_ref[0] = y1m
+
+
+@functools.partial(
+    jax.jit, static_argnames=("slope", "interpret", "block_rows"))
+def _contract_fwd_pallas(x, w1, b1, w2, b2, slope=0.3, interpret=False,
+                         block_rows=None):
+    n, h, w, c = x.shape
+    assert h % 2 == 0 and w % 2 == 0, (h, w)
+    o = w1.shape[3]
+    h2, w2_len, c2 = h // 2, w // 2, 2 * c
+    x5 = x.reshape(n, h2, 2, w2_len, c2)          # free view of NHWC
+    w1r = w1.reshape(2, c2, o).astype(x.dtype)    # (di, (dj, c), o)
+    w2k = w2.astype(x.dtype)
+
+    bh = block_rows or _pick_bh(
+        h2, _contract_row_bytes(w2_len, c2, o, x.dtype.itemsize))
+    grid = (n, h2 // bh)
+    kernel = functools.partial(
+        _contract_kernel, bh=bh, w2_len=w2_len, c2=c2, c_out=o,
+        slope=slope)
+    y2, y1 = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bh, 2, w2_len, c2),
+                         lambda ni, hi: (ni, hi, 0, 0, 0)),
+            # halo: the next block's first row-pair (clamped at the end;
+            # the kernel zeroes it on the last block = SAME bottom pad)
+            pl.BlockSpec((1, 1, 2, w2_len, c2),
+                         lambda ni, hi, _bh=bh, _n=h2: (
+                             ni, jnp.minimum((hi + 1) * _bh, _n - 1),
+                             0, 0, 0)),
+            pl.BlockSpec((2, c2, o), lambda ni, hi: (0, 0, 0)),
+            pl.BlockSpec((1, o), lambda ni, hi: (0, 0)),
+            pl.BlockSpec((2, 2, o, o), lambda ni, hi: (0, 0, 0, 0)),
+            pl.BlockSpec((1, o), lambda ni, hi: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bh, w2_len, o),
+                         lambda ni, hi: (ni, hi, 0, 0)),
+            pl.BlockSpec((1, bh, w2_len, o),
+                         lambda ni, hi: (ni, hi, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, h2, w2_len, o), x.dtype),
+            jax.ShapeDtypeStruct((n, h2, w2_len, o), x.dtype),
+        ],
+        interpret=interpret,
+    )(x5, x5, w1r, b1.reshape(1, o).astype(x.dtype), w2k,
+      b2.reshape(1, o).astype(x.dtype))
+    return y2, y1
+
+
+def _shift_pp(a, ei, ej):
+    """a[i+ei, j+ej] over NHWC spatial dims, zero past the bottom/right."""
+    n, h, w, c = a.shape
+    ap = jnp.pad(a, ((0, 0), (0, ei), (0, ej), (0, 0)))
+    return jax.lax.slice(ap, (0, ei, ej, 0), (n, ei + h, ej + w, c))
+
+
+def _shift_mm(a, ei, ej):
+    """a[i-ei, j-ej] over NHWC spatial dims, zero before the top/left."""
+    n, h, w, c = a.shape
+    ap = jnp.pad(a, ((0, 0), (ei, 0), (ej, 0), (0, 0)))
+    return jax.lax.slice(ap, (0, 0, 0, 0), (n, h, w, c))
+
+
+def contract_stage_ref(x, w1, b1, w2, b2, slope=0.3):
+    """Pure-XLA reference of the fused contracting stage (also the
+    numerics oracle for the kernel and the source of its backward)."""
+    n, h, w, c = x.shape
+    o = w1.shape[3]
+    h2, w2_len, c2 = h // 2, w // 2, 2 * c
+    x5 = x.reshape(n, h2, 2, w2_len, c2)
+    w1r = w1.reshape(2, c2, o)
+    z1 = (jnp.einsum("nijd,do->nijo", x5[:, :, 0], w1r[0],
+                     preferred_element_type=jnp.float32)
+          + jnp.einsum("nijd,do->nijo", x5[:, :, 1], w1r[1],
+                       preferred_element_type=jnp.float32)
+          + b1).astype(x.dtype)
+    y1 = _lrelu(z1, slope)
+    z2 = b2 * jnp.ones((), x.dtype)
+    for ei in range(2):
+        for ej in range(2):
+            z2 = z2 + jnp.einsum(
+                "nijo,op->nijp", _shift_pp(y1, ei, ej), w2[ei, ej],
+                preferred_element_type=jnp.float32).astype(x.dtype)
+    return _lrelu(z2, slope), y1
+
+
+def _contract_bwd_xla(res, g):
+    x, w1, b1, w2, b2, y1, y2, slope = res
+    n, h, w, c = x.shape
+    o = w1.shape[3]
+    h2, w2_len, c2 = h // 2, w // 2, 2 * c
+    dz2 = (g * _lrelu_mask(y2, slope)).astype(jnp.float32)
+    db2 = jnp.sum(dz2, axis=(0, 1, 2)).astype(b2.dtype)
+    dw2 = jnp.stack([
+        jnp.stack([
+            jnp.einsum("nijo,nijp->op", _shift_pp(y1, ei, ej), dz2)
+            for ej in range(2)], axis=0)
+        for ei in range(2)], axis=0).astype(w2.dtype)
+    dy1 = 0.0
+    for ei in range(2):
+        for ej in range(2):
+            dy1 = dy1 + jnp.einsum(
+                "nijp,op->nijo", _shift_mm(dz2, ei, ej), w2[ei, ej])
+    dz1 = (dy1 * _lrelu_mask(y1, slope)).astype(jnp.float32)
+    db1 = jnp.sum(dz1, axis=(0, 1, 2)).astype(b1.dtype)
+    x5 = x.reshape(n, h2, 2, w2_len, c2)
+    w1r = w1.reshape(2, c2, o)
+    dw1 = jnp.stack([
+        jnp.einsum("nijd,nijo->do", x5[:, :, r], dz1) for r in range(2)
+    ], axis=0).reshape(w1.shape).astype(w1.dtype)
+    dx5 = jnp.stack([
+        jnp.einsum("nijo,do->nijd", dz1, w1r[r]) for r in range(2)
+    ], axis=2)
+    dx = dx5.reshape(x.shape).astype(x.dtype)
+    return dx, dw1, db1, dw2, db2
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def contract_stage(x, w1, b1, w2, b2, slope=0.3, interpret=False):
+    """Fused contracting U-Net stage.
+
+    Args:
+        x: (N, H, W, C), H and W even.
+        w1: (2, 2, C, O) HWIO stride-2 conv kernel; b1: (O,).
+        w2: (2, 2, O, O) HWIO stride-1 SAME conv kernel; b2: (O,).
+        slope: LeakyReLU negative slope (0.0 = ReLU).
+
+    Returns: (N, H/2, W/2, O) ==
+        lrelu(conv_k2s1(lrelu(conv_k2s2(x) + b1)) + b2).
+    """
+    y2, _ = _contract_fwd_pallas(x, w1, b1, w2, b2, slope=slope,
+                                 interpret=interpret)
+    return y2
+
+
+def _contract_stage_fwd(x, w1, b1, w2, b2, slope, interpret):
+    y2, y1 = _contract_fwd_pallas(x, w1, b1, w2, b2, slope=slope,
+                                  interpret=interpret)
+    return y2, (x, w1, b1, w2, b2, y1, y2, slope)
+
+
+def _contract_stage_bwd(slope, interpret, res, g):
+    del slope, interpret  # already captured in res
+    return _contract_bwd_xla(res, g)
+
+
+contract_stage.defvjp(_contract_stage_fwd, _contract_stage_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Expanding stage:
+#   y2 = lrelu(deconv_k2s1(lrelu(deconv_k2s2(x) + b1)) + b2)
+# Transposed-conv taps look up-left: z2[r, s] = sum y1[r-ei, s-ej] w2[ei, ej].
+# ---------------------------------------------------------------------------
+
+
+def _expand_kernel(x_ref, xh_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                   y2_ref, y1_ref, *, bh, w_len, c_in, c_out, slope):
+    f32 = jnp.float32
+    xm = x_ref[0]       # (bh, W, C)
+    xh = xh_ref[0]      # (1, W, C) — previous block's last row
+    w1 = w1_ref[...]    # (2, 2, C, O): (di, dj, c, o)
+    b1 = b1_ref[...]    # (1, O)
+    b2 = b2_ref[...]
+    odt = y2_ref.dtype
+
+    def quarter(xrows, di, dj, rows):
+        z = jnp.dot(xrows.reshape(rows * w_len, c_in), w1[di, dj],
+                    preferred_element_type=f32) + b1.astype(f32)
+        return _lrelu(z, slope).reshape(rows, w_len, c_out).astype(odt)
+
+    # y1 parity grids: Y[di][dj][i, j] = y1[2i+di, 2j+dj]
+    Y = [[quarter(xm, di, dj, bh) for dj in range(2)] for di in range(2)]
+    is_first = pl.program_id(1) == 0
+    # halo: y1 rows 2*(i0-1)+1 (parity di=1 of the previous input row)
+    Yh = [quarter(xh, 1, dj, 1) for dj in range(2)]
+    Yh = [jnp.where(is_first, jnp.zeros_like(t), t) for t in Yh]
+
+    def ishift(t, halo):  # t[i] <- t[i-1]; first row from the halo
+        return jnp.concatenate([halo, t[:-1]], axis=0)
+
+    def jshift(t):        # t[:, j] <- t[:, j-1]; zero at the left edge
+        return jnp.concatenate(
+            [jnp.zeros_like(t[:, :1]), t[:, :-1]], axis=1)
+
+    w2k = w2_ref[...]   # (2, 2, O, O)
+
+    def mm(t, ei, ej):
+        return jnp.dot(t.reshape(bh * w_len, c_out), w2k[ei, ej],
+                       preferred_element_type=f32)
+
+    # out[u][v][i, j] = y2[2i+u, 2j+v]
+    #                 = sum_{ei, ej} y1[2i+u-ei, 2j+v-ej] w2[ei, ej]
+    out = [[None, None], [None, None]]
+    for u in range(2):
+        for v in range(2):
+            acc = b2.astype(f32)
+            for ei in range(2):
+                for ej in range(2):
+                    rp = u - ei    # full-res row offset: parity & shift
+                    cp = v - ej
+                    t = Y[rp & 1][cp & 1]
+                    if cp < 0:
+                        t = jshift(t)
+                    if rp < 0:
+                        halo = Yh[cp & 1]
+                        if cp < 0:
+                            halo = jshift(halo)
+                        t = ishift(t, halo)
+                    acc = acc + mm(t, ei, ej)
+            out[u][v] = _lrelu(acc, slope).reshape(
+                bh, w_len, c_out).astype(odt)
+
+    # Packed row-pair layout (N, H, 2, W, 2O): lanes hold (dj, o).
+    for u in range(2):
+        y2_ref[0, :, u] = jnp.concatenate([out[u][0], out[u][1]], axis=-1)
+        y1_ref[0, :, u] = jnp.concatenate([Y[u][0], Y[u][1]], axis=-1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("slope", "interpret", "block_rows"))
+def _expand_fwd_pallas(x, w1, b1, w2, b2, slope=0.3, interpret=False,
+                       block_rows=None):
+    n, h, w, c = x.shape
+    o = w1.shape[3]
+    bh = block_rows or _pick_bh(
+        h, _expand_row_bytes(w, c, o, x.dtype.itemsize))
+    grid = (n, h // bh)
+    kernel = functools.partial(
+        _expand_kernel, bh=bh, w_len=w, c_in=c, c_out=o, slope=slope)
+    y2p, y1p = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bh, w, c), lambda ni, hi: (ni, hi, 0, 0)),
+            # halo: the previous block's last row (clamped at the start;
+            # the kernel zeroes it on the first block = transpose top pad)
+            pl.BlockSpec((1, 1, w, c),
+                         lambda ni, hi, _bh=bh: (
+                             ni, jnp.maximum(hi * _bh - 1, 0), 0, 0)),
+            pl.BlockSpec((2, 2, c, o), lambda ni, hi: (0, 0, 0, 0)),
+            pl.BlockSpec((1, o), lambda ni, hi: (0, 0)),
+            pl.BlockSpec((2, 2, o, o), lambda ni, hi: (0, 0, 0, 0)),
+            pl.BlockSpec((1, o), lambda ni, hi: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bh, 2, w, 2 * o),
+                         lambda ni, hi: (ni, hi, 0, 0, 0)),
+            pl.BlockSpec((1, bh, 2, w, 2 * o),
+                         lambda ni, hi: (ni, hi, 0, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, h, 2, w, 2 * o), x.dtype),
+            jax.ShapeDtypeStruct((n, h, 2, w, 2 * o), x.dtype),
+        ],
+        interpret=interpret,
+    )(x, x, w1.astype(x.dtype), b1.reshape(1, o).astype(x.dtype),
+      w2.astype(x.dtype), b2.reshape(1, o).astype(x.dtype))
+    # (N, H, 2, W, 2O) -> (N, 2H, 2W, O) is a free reshape.
+    return (y2p.reshape(n, 2 * h, 2 * w, o),
+            y1p.reshape(n, 2 * h, 2 * w, o))
+
+
+def expand_stage_ref(x, w1, b1, w2, b2, slope=0.3):
+    """Pure-XLA reference of the fused expanding stage."""
+    n, h, w, c = x.shape
+    o = w1.shape[3]
+    # deconv k2s2 == matmul + depth-to-space (elements.deconv fast path)
+    z1 = jnp.einsum("nhwc,ckqo->nhkwqo", x, w1.transpose(2, 0, 1, 3),
+                    preferred_element_type=jnp.float32).astype(x.dtype)
+    z1 = z1.reshape(n, 2 * h, 2 * w, o) + b1.astype(x.dtype)
+    y1 = _lrelu(z1, slope)
+    z2 = b2 * jnp.ones((), x.dtype)
+    for ei in range(2):
+        for ej in range(2):
+            z2 = z2 + jnp.einsum(
+                "nijo,op->nijp", _shift_mm(y1, ei, ej), w2[ei, ej],
+                preferred_element_type=jnp.float32).astype(x.dtype)
+    return _lrelu(z2, slope), y1
+
+
+def _expand_bwd_xla(res, g):
+    x, w1, b1, w2, b2, y1, y2, slope = res
+    n, h, w, c = x.shape
+    o = w1.shape[3]
+    dz2 = (g * _lrelu_mask(y2, slope)).astype(jnp.float32)
+    db2 = jnp.sum(dz2, axis=(0, 1, 2)).astype(b2.dtype)
+    dw2 = jnp.stack([
+        jnp.stack([
+            jnp.einsum("nijo,nijp->op", _shift_mm(y1, ei, ej), dz2)
+            for ej in range(2)], axis=0)
+        for ei in range(2)], axis=0).astype(w2.dtype)
+    dy1 = 0.0
+    for ei in range(2):
+        for ej in range(2):
+            dy1 = dy1 + jnp.einsum(
+                "nijp,op->nijo", _shift_pp(dz2, ei, ej), w2[ei, ej])
+    dz1 = (dy1 * _lrelu_mask(y1, slope)).astype(jnp.float32)
+    db1 = jnp.sum(dz1, axis=(0, 1, 2)).astype(b1.dtype)
+    dz1p = dz1.reshape(n, h, 2, w, 2, o)
+    # z1[n, 2i+di, 2j+dj, o] = sum_c x[n, i, j, c] w1[di, dj, c, o]
+    dw1 = jnp.einsum("nipjqo,nijc->pqco", dz1p, x).astype(w1.dtype)
+    dx = jnp.einsum("nipjqo,pqco->nijc", dz1p, w1).astype(x.dtype)
+    return dx, dw1, db1, dw2, db2
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def expand_stage(x, w1, b1, w2, b2, slope=0.3, interpret=False):
+    """Fused expanding U-Net stage.
+
+    Args:
+        x: (N, H, W, C).
+        w1: (2, 2, C, O) HWIO stride-2 transposed-conv kernel; b1: (O,).
+        w2: (2, 2, O, O) HWIO stride-1 transposed-conv kernel; b2: (O,).
+
+    Returns: (N, 2H, 2W, O) ==
+        lrelu(deconv_k2s1(lrelu(deconv_k2s2(x) + b1)) + b2).
+    """
+    y2, _ = _expand_fwd_pallas(x, w1, b1, w2, b2, slope=slope,
+                               interpret=interpret)
+    return y2
+
+
+def _expand_stage_fwd(x, w1, b1, w2, b2, slope, interpret):
+    y2, y1 = _expand_fwd_pallas(x, w1, b1, w2, b2, slope=slope,
+                                interpret=interpret)
+    return y2, (x, w1, b1, w2, b2, y1, y2, slope)
+
+
+def _expand_stage_bwd(slope, interpret, res, g):
+    del slope, interpret
+    return _expand_bwd_xla(res, g)
+
+
+expand_stage.defvjp(_expand_stage_fwd, _expand_stage_bwd)

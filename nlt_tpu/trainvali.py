@@ -114,6 +114,54 @@ def maintain_epoch_queue(queue_, new_epoch_dir):
             rmtree(epoch_dir, ignore_errors=True)
 
 
+# XLA's flat row gather degrades ~3.5x once a resampler take exceeds
+# this many rows (ops/resample.py; RESULTS.md batch-scaling — a bs-8
+# 512^2 step COLLAPSES 33.8 -> 110.7 ms).
+GATHER_CLIFF_ROWS = 1_500_000
+
+
+def fence_grad_accum(config, n_devices, n_tile=1):
+    """Keep per-device microbatches under the resampler gather cliff.
+
+    If the per-device microbatch would cross ~1.5M resample rows and
+    the user didn't set grad_accum explicitly, auto-raise it (scanned
+    microbatches give the IDENTICAL gradient; parallel/train.py); if
+    the user DID pin grad_accum, warn loudly but respect the setting.
+    Returns the grad_accum to use.
+    """
+    grad_accum = config.get_int("grad_accum", 1)
+    n_data_devices = max(1, n_devices // max(n_tile, 1))
+    bs_total = config.get_int("bs")
+
+    def micro_rows(n_micro):
+        per_dev_bs = max(1, (bs_total // n_micro) // n_data_devices)
+        return (per_dev_bs * config.get_int("uvh")
+                * config.get_int("uvw"))
+
+    if micro_rows(grad_accum) > GATHER_CLIFF_ROWS:
+        if config.has("grad_accum"):
+            logger.warn(
+                "Per-device microbatch (%d resample rows) exceeds the "
+                "~1.5M-row gather cliff; this step will run ~3x slow. "
+                "Raise grad_accum to stay under it.",
+                micro_rows(grad_accum))
+        else:
+            auto = grad_accum
+            while (micro_rows(auto) > GATHER_CLIFF_ROWS
+                   and auto < bs_total and bs_total % (auto * 2) == 0):
+                auto *= 2
+            if auto > grad_accum:
+                logger.warn(
+                    "Auto-set grad_accum=%d: per-device bs %d at %dx%d "
+                    "UV crosses the ~1.5M-row gather cliff; scanned "
+                    "microbatches keep the identical gradient at full "
+                    "speed (set grad_accum explicitly to override).",
+                    auto, bs_total // n_data_devices,
+                    config.get_int("uvh"), config.get_int("uvw"))
+                grad_accum = auto
+    return grad_accum
+
+
 def main(argv=None):
     args = parse_args(argv)
     if args.debug:
@@ -163,7 +211,8 @@ def main(argv=None):
     # grad_accum=N scans N sequential microbatches of bs/N inside the
     # jitted step and applies ONE averaged update — the bs gradient at
     # the microbatch's memory/gather footprint (parallel/train.py).
-    grad_accum = config.get_int("grad_accum", 1)
+    grad_accum = fence_grad_accum(
+        config, n_devices=len(jax.devices()), n_tile=args.n_tile)
     if grad_accum > 1:
         assert config.get_int("bs") % grad_accum == 0, \
             "bs must be divisible by grad_accum"

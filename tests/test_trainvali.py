@@ -288,3 +288,30 @@ def test_trainvali_ema(tmp_path, scene_root):
     for a, b in zip(jax.tree.leaves(state["params"]),
                     jax.tree.leaves(state["ema_params"])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fence_grad_accum_auto_and_warn():
+    """The gather-cliff fence (trainvali.fence_grad_accum): bs-8 512^2
+    on one device auto-sets grad_accum=2; an explicit grad_accum is
+    respected (warn only); small runs are untouched."""
+    from nlt_tpu import trainvali as tv
+    from nlt_tpu.utils.config import Config
+
+    base = {"bs": 8, "uvh": 512, "uvw": 512}
+    # Auto: 8*512^2 = 2.1M rows > 1.5M -> split to 2 micros of 1.05M.
+    assert tv.fence_grad_accum(Config(dict(base)), n_devices=1) == 2
+    # Explicit grad_accum=1 pinned by the user: warn, don't override.
+    assert tv.fence_grad_accum(
+        Config(dict(base, grad_accum=1)), n_devices=1) == 1
+    # Under the cliff: untouched.
+    assert tv.fence_grad_accum(
+        Config({"bs": 4, "uvh": 512, "uvw": 512}), n_devices=1) == 1
+    # Data-parallel devices divide the per-device batch first.
+    assert tv.fence_grad_accum(
+        Config(dict(base)), n_devices=2) == 1
+    # Tile devices don't (they shard space, not batch).
+    assert tv.fence_grad_accum(
+        Config(dict(base)), n_devices=2, n_tile=2) == 2
+    # bs 16 on one device needs 4 microbatches.
+    assert tv.fence_grad_accum(
+        Config({"bs": 16, "uvh": 512, "uvw": 512}), n_devices=1) == 4
