@@ -86,9 +86,11 @@ class Model(BaseModel):
         net_kwargs = {"norm_type": norm, "act_type": act, "pool_type": pool}
         self.net = {
             "query": convnet.Network(
-                depth0, depth, kernel, stride, **net_kwargs),
+                depth0, depth, kernel, stride, bn_prefix="query_",
+                **net_kwargs),
             "obs": convnet.Network(
-                depth0, depth, kernel, stride, **net_kwargs),
+                depth0, depth, kernel, stride, bn_prefix="obs_",
+                **net_kwargs),
         }
         # The obs path keeps only contracting stages
         # (reference: nlt/models/nlt.py:57-59).

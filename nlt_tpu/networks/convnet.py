@@ -27,12 +27,21 @@ from .seq import Network as BaseNetwork
 
 class Network(BaseNetwork):
     def __init__(self, depth0, depth, kernel, stride, norm_type=None,
-                 act_type="relu", pool_type=None):
+                 act_type="relu", pool_type=None, bn_prefix=""):
         super().__init__()
         norm_type = self.str2none(norm_type)
         pool_type = self.str2none(pool_type)
         n_feat = netutil.gen_feat_n(depth0, depth)
         self.n_feat = n_feat
+
+        # Construction-stable unique names for BatchNorm moving-stats
+        # keys (see elements.norm); bn_prefix disambiguates multiple
+        # networks in one model (the NLT dual path).
+        bn_count = iter(range(1 << 30))
+
+        def mknorm():
+            return norm(norm_type,
+                        bn_name="%sbn%d" % (bn_prefix, next(bn_count)))
 
         prev_n = 0
         self.is_contracting, self.spatsize_changes = [], []
@@ -46,10 +55,10 @@ class Network(BaseNetwork):
             if n >= prev_n:  # 64 -> 64 counts as contracting
                 self.stages.append(sequential([
                     conv(kernel, n, stride=stride),
-                    norm(norm_type),
+                    mknorm(),
                     act(act_type),
                     conv(kernel, n, stride=1),
-                    norm(norm_type),
+                    mknorm(),
                     act(act_type),
                     pool(pool_type),
                 ], name="contract%d" % n))
@@ -62,10 +71,10 @@ class Network(BaseNetwork):
                 self.stages.append(sequential([
                     iden() if pool_type is None else upconv(n),
                     deconv(kernel, n, stride=stride),
-                    norm(norm_type),
+                    mknorm(),
                     act(act_type),
                     deconv(kernel, n, stride=1),
-                    norm(norm_type),
+                    mknorm(),
                     act(act_type),
                 ], name="expand%d" % n))
                 self.is_contracting.append(False)

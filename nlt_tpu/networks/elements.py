@@ -260,23 +260,109 @@ def act(type_):
     raise NotImplementedError(type_)
 
 
-def norm(type_):
+# ---- BatchNorm moving statistics -----------------------------------
+#
+# Keras BatchNormalization semantics (reference: elements.py:51-66):
+# training normalizes by BATCH statistics and updates an exponential
+# moving average; inference normalizes by the MOVING statistics. In
+# this pure-functional stack the moving stats live in the params
+# pytree (checkpointed; their loss gradient is identically zero, so
+# the optimizer never moves them) under per-layer unique key names
+# ("moving_mean__<bn_name>"), and the train step updates them through
+# a trace-time collector: while a `collect_bn_stats()` context is
+# active (parallel/train.loss_fn), each BN layer normalizes by batch
+# stats AND records them under its bn_name; the step then EMA-merges
+# the recorded stats into the params by key name
+# (parallel/train.merge_bn_stats). Without an active collector
+# (vali/test/serve), BN normalizes by the moving stats.
+
+BN_MOMENTUM = 0.99  # Keras BatchNormalization default
+
+_BN_TAPS = None
+_BN_AUTO_IDS = iter(range(1 << 30))
+
+
+class collect_bn_stats:
+    """Trace-time collector: within the context, BN layers use batch
+    statistics and record them as {bn_name: {'mean', 'var'}}."""
+
+    def __enter__(self):
+        global _BN_TAPS
+        self._prev = _BN_TAPS
+        _BN_TAPS = {}
+        return _BN_TAPS
+
+    def __exit__(self, *exc):
+        global _BN_TAPS
+        _BN_TAPS = self._prev
+        return False
+
+
+def merge_bn_stats(params, taps, momentum=None):
+    """EMA-merge collected batch statistics into the moving-stats
+    leaves of a params pytree, matched by the unique key names BN
+    layers bake into their param dicts. Non-BN leaves pass through
+    untouched (in particular the optimizer-updated gamma/beta)."""
+    if not taps:
+        return params
+    m = BN_MOMENTUM if momentum is None else momentum
+    from jax.tree_util import tree_map_with_path
+
+    def upd(path, leaf):
+        key = getattr(path[-1], "key", None)
+        if not isinstance(key, str):
+            return leaf
+        for stat, prefix in (("mean", "moving_mean__"),
+                             ("var", "moving_var__")):
+            if key.startswith(prefix):
+                tap = taps.get(key[len(prefix):])
+                if tap is None:
+                    return leaf
+                new = (m * leaf.astype(jnp.float32)
+                       + (1.0 - m) * tap[stat])
+                return new.astype(leaf.dtype)
+        return leaf
+
+    return tree_map_with_path(upd, params)
+
+
+def norm(type_, bn_name=None):
     """batch / layer / instance / pixel / None (reference:
-    elements.py:51-66, 97-121)."""
+    elements.py:51-66, 97-121).
+
+    bn_name: unique, construction-stable name for a "batch" layer's
+    moving-statistics param keys (convnet passes "query_bn0", ...).
+    Auto-named layers work but their checkpoint keys depend on
+    process-wide construction order — always pass a name in models.
+    """
     if type_ is None or str(type_).lower() == "none":
         return iden()
 
     if type_ == "batch":
-        # Batch statistics in all modes (documented deviation; see module
-        # docstring). Learnable gamma/beta like Keras BatchNormalization.
+        name = bn_name or ("bn_auto%d" % next(_BN_AUTO_IDS))
+        mean_key = "moving_mean__" + name
+        var_key = "moving_var__" + name
+
         def init(key, in_ch):
             return {"gamma": jnp.ones((in_ch,)),
-                    "beta": jnp.zeros((in_ch,))}, in_ch
+                    "beta": jnp.zeros((in_ch,)),
+                    mean_key: jnp.zeros((in_ch,)),
+                    var_key: jnp.ones((in_ch,))}, in_ch
 
         def apply(params, x):
-            mean = jnp.mean(x, axis=(0, 1, 2), keepdims=True)
-            var = jnp.var(x, axis=(0, 1, 2), keepdims=True)
-            xn = (x - mean) * jax.lax.rsqrt(var + 1e-3)
+            if _BN_TAPS is not None:
+                mean = jnp.mean(x, axis=(0, 1, 2))
+                var = jnp.var(x, axis=(0, 1, 2))
+                _BN_TAPS[name] = {
+                    "mean": jax.lax.stop_gradient(mean.astype(
+                        jnp.float32)),
+                    "var": jax.lax.stop_gradient(var.astype(
+                        jnp.float32))}
+            else:
+                mean = params[mean_key].astype(x.dtype)
+                var = params[var_key].astype(x.dtype)
+            xn = ((x - mean.reshape(1, 1, 1, -1))
+                  * jax.lax.rsqrt(var.reshape(1, 1, 1, -1) + 1e-3))
             return xn * params["gamma"].astype(x.dtype) \
                 + params["beta"].astype(x.dtype)
 

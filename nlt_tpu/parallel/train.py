@@ -18,6 +18,8 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from ..networks import elements
+
 
 
 def make_optimizer(lr, mgm=-1.0):
@@ -87,8 +89,15 @@ def make_train_step(model, tx, mesh=None, tile_spatial=False,
         gt_feats = statics["feats"] if statics else None
         products = (statics["products"] or None) if statics else None
         apply_kwargs = {"statics": products} if products else {}
-        pred, gt, kwargs, to_vis = model.apply(
-            params, batch, "train", **apply_kwargs)
+        # BatchNorm layers (norm = batch) normalize by batch stats in
+        # training and record them here; the step EMA-merges them into
+        # the params' moving-stats leaves (Keras BN semantics,
+        # reference: nlt/networks/elements.py:51-66). No-op when the
+        # model has no BN layers (taps stays {}).
+        with elements.collect_bn_stats() as bn_taps:
+            pred, gt, kwargs, to_vis = model.apply(
+                params, batch, "train", **apply_kwargs)
+        bn_taps = dict(bn_taps)
         kwargs["keep_batch"] = True
         if gt_feats:
             kwargs["gt_feats"] = gt_feats
@@ -101,7 +110,7 @@ def make_train_step(model, tx, mesh=None, tile_spatial=False,
                 key = jax.random.fold_in(key, micro_i)
             kwargs["loss_key"] = key
         per_example = model.compute_loss(params, pred, gt, **kwargs)
-        return jnp.mean(per_example), to_vis
+        return jnp.mean(per_example), (to_vis, bn_taps)
 
     def train_step(state, batch, statics=None):
         if grad_accum > 1:
@@ -125,16 +134,16 @@ def make_train_step(model, tx, mesh=None, tile_spatial=False,
             def body(carry, xs_i):
                 g_acc, loss_acc, micro_i = carry
                 b_i, s_i = xs_i
-                (loss, to_vis), grads = jax.value_and_grad(
+                (loss, aux), grads = jax.value_and_grad(
                     loss_fn, has_aux=True)(
                         state["params"], b_i, s_i, state["step"], micro_i)
                 g_acc = jax.tree.map(jnp.add, g_acc, grads)
-                return (g_acc, loss_acc + loss, micro_i + 1), to_vis
+                return (g_acc, loss_acc + loss, micro_i + 1), aux
 
             zero_g = jax.tree.map(jnp.zeros_like, state["params"])
             carry0 = (zero_g, jnp.zeros(()), jnp.zeros((), jnp.int32))
-            (g_sum, loss_sum, _), vis_stacked = jax.lax.scan(
-                body, carry0, xs)
+            (g_sum, loss_sum, _), (vis_stacked, taps_stacked) = (
+                jax.lax.scan(body, carry0, xs))
             grads = jax.tree.map(lambda g: g / grad_accum, g_sum)
             loss = loss_sum / grad_accum
             # (N, micro, ...) -> (bs, ...), inverting the strided
@@ -143,14 +152,23 @@ def make_train_step(model, tx, mesh=None, tile_spatial=False,
                 lambda x: x.swapaxes(0, 1).reshape(
                     (x.shape[0] * x.shape[1],) + x.shape[2:]),
                 vis_stacked)
+            # BN batch stats averaged over the microbatches (equal
+            # sizes, so the mean of means is the full-batch mean; the
+            # mean of vars approximates within-micro variance — one
+            # EMA merge per optimizer step, like the unsplit batch).
+            bn_taps = jax.tree.map(
+                lambda t: jnp.mean(t, axis=0), taps_stacked)
         else:
-            (loss, to_vis), grads = jax.value_and_grad(
+            (loss, (to_vis, bn_taps)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(
                     state["params"], batch, statics, state["step"],
                     jnp.zeros((), jnp.int32))
         updates, opt_state = tx.update(
             grads, state["opt_state"], state["params"])
         params = optax.apply_updates(state["params"], updates)
+        # Keras-BN moving statistics (no-op without BN layers). Runs
+        # before nan_guard so a guarded step reverts these too.
+        params = elements.merge_bn_stats(params, bn_taps)
         if nan_guard:
             ok = jnp.isfinite(loss)
             for g in jax.tree.leaves(grads):

@@ -194,3 +194,85 @@ def test_mlp_skip_concat(rng):
     assert y.shape == (3, 8)
     # Layer 2's kernel must expect 16 + 6 inputs
     assert params[2]["w"].shape == (22, 8)
+
+
+def test_batchnorm_moving_stats_train_eval(rng):
+    """Keras BN semantics (reference: elements.py:51-66): training uses
+    batch statistics and records taps; inference uses the moving stats;
+    merge_bn_stats EMA-updates the moving leaves and nothing else."""
+    layer = elements.norm("batch", bn_name="t0")
+    params, _ = layer.init(jax.random.PRNGKey(4), 3)
+    assert set(params) == {
+        "gamma", "beta", "moving_mean__t0", "moving_var__t0"}
+    x = jnp.asarray(
+        (rng.standard_normal((2, 8, 8, 3)) * 3 + 5).astype(np.float32))
+
+    # Train mode (collector active): normalized by batch stats.
+    with elements.collect_bn_stats() as taps:
+        y_train = layer.apply(params, x)
+    np.testing.assert_allclose(
+        np.asarray(jnp.mean(y_train, axis=(0, 1, 2))), 0.0, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(taps["t0"]["mean"]),
+        np.asarray(jnp.mean(x, axis=(0, 1, 2))), rtol=1e-6)
+
+    # Eval mode (no collector): moving stats (init 0/1) -> y ~= x.
+    y_eval = layer.apply(params, x)
+    np.testing.assert_allclose(
+        np.asarray(y_eval), np.asarray(x), atol=1e-2)
+
+    # EMA merge: only the moving leaves move, toward the batch stats.
+    merged = elements.merge_bn_stats(params, taps)
+    np.testing.assert_array_equal(
+        np.asarray(merged["gamma"]), np.asarray(params["gamma"]))
+    np.testing.assert_allclose(
+        np.asarray(merged["moving_mean__t0"]),
+        0.99 * 0.0 + 0.01 * np.asarray(taps["t0"]["mean"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(merged["moving_var__t0"]),
+        0.99 * 1.0 + 0.01 * np.asarray(taps["t0"]["var"]), rtol=1e-5)
+
+    # After many merges of the same batch, eval converges to train.
+    p = params
+    for _ in range(800):
+        p = elements.merge_bn_stats(p, taps)
+    y_eval2 = layer.apply(p, x)
+    np.testing.assert_allclose(
+        np.asarray(y_eval2), np.asarray(y_train), atol=2e-2)
+
+
+def test_batchnorm_trains_end_to_end(rng):
+    """A norm=batch model's train step updates moving stats in the
+    checkpointable params; the eval step consumes them."""
+    from nlt_tpu.models import get_model_class
+    from nlt_tpu.parallel import train as train_mod
+    from tests.test_model_nlt import small_config, make_batch
+
+    cfg = small_config(norm="batch")
+    model = get_model_class("nlt")(cfg)
+    tx = train_mod.make_optimizer(1e-3)
+    state = train_mod.init_state(model, tx, jax.random.PRNGKey(0))
+
+    flat = jax.tree_util.tree_leaves_with_path(state["params"])
+    mm_paths = [p for p, _ in flat
+                if "moving_mean__" in str(p[-1])]
+    assert mm_paths, "norm=batch model has no moving-stat leaves"
+
+    batch = make_batch(rng)
+    step = train_mod.make_train_step(model, tx)
+
+    def stats_of(params):
+        return {str(p): np.asarray(v)
+                for p, v in jax.tree_util.tree_leaves_with_path(params)
+                if "moving_" in str(p[-1])}
+
+    s0 = stats_of(state["params"])  # before the step donates state
+    state2, loss, _ = step(state, batch)
+    assert np.isfinite(float(loss))
+    s2 = stats_of(state2["params"])
+    moved = [k for k in s0 if np.abs(s2[k] - s0[k]).max() > 1e-8]
+    assert moved, "train step did not update any moving statistics"
+
+    eval_step = train_mod.make_eval_step(model)
+    eloss, _ = eval_step(state2, batch)
+    assert np.isfinite(float(eloss))
