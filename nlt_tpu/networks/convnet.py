@@ -18,11 +18,49 @@ The model layer uses `is_contracting` to know where to tap skip
 connections and inject observation features.
 """
 
+import os
+
 import numpy as np
 
 from ..utils import net as netutil
-from .elements import act, conv, deconv, iden, norm, pool, sequential, upconv
+from .elements import (Layer, act, conv, deconv, iden, norm, pool,
+                       sequential, upconv)
 from .seq import Network as BaseNetwork
+
+# Fused Pallas stage kernels (ops/fused_stage.py): run a whole
+# contracting/expanding stage (two convs + activations) as one VMEM
+# residency instead of separate XLA einsums. Applies only to the
+# shipped configuration shape (kernel == stride == 2, no norm/pool,
+# relu/leakyrelu); other configs keep the sequential path. Off-TPU the
+# kernels run in the Pallas interpreter, so the same program dry-runs
+# on CPU meshes. Flag: NLT_TPU_FUSED_STAGE=1 (A/B measured at the
+# full-step level; see RESULTS.md).
+_FUSED_STAGE = os.environ.get("NLT_TPU_FUSED_STAGE", "0") == "1"
+_ACT_SLOPE = {"relu": 0.0, "leakyrelu": 0.3}
+
+
+def _fused_stage_layer(seq_layer, kind, conv_idx, slope):
+    """Wrap a sequential stage Layer with a fused-kernel apply that
+    reads the SAME params structure (checkpoint-compatible; init and
+    name are the sequential's own)."""
+    import jax
+
+    from ..ops import fused_stage as fs
+
+    i1, i2 = conv_idx
+    fused_fn = (fs.contract_stage if kind == "contract"
+                else fs.expand_stage)
+
+    def apply(params, x):
+        interpret = jax.default_backend() != "tpu"
+        return fused_fn(
+            x, params[i1]["w"].astype(x.dtype),
+            params[i1]["b"].astype(x.dtype),
+            params[i2]["w"].astype(x.dtype),
+            params[i2]["b"].astype(x.dtype),
+            slope, interpret)
+
+    return Layer(seq_layer.init, apply, seq_layer.name)
 
 
 class Network(BaseNetwork):
@@ -51,9 +89,13 @@ class Network(BaseNetwork):
         self.is_contracting.append(True)
         self.spatsize_changes.append(1)
 
+        fusable = (_FUSED_STAGE and norm_type is None
+                   and pool_type is None and kernel == stride == 2
+                   and act_type in _ACT_SLOPE)
+
         for n in n_feat[:-1]:
             if n >= prev_n:  # 64 -> 64 counts as contracting
-                self.stages.append(sequential([
+                stage = sequential([
                     conv(kernel, n, stride=stride),
                     mknorm(),
                     act(act_type),
@@ -61,14 +103,18 @@ class Network(BaseNetwork):
                     mknorm(),
                     act(act_type),
                     pool(pool_type),
-                ], name="contract%d" % n))
+                ], name="contract%d" % n)
+                if fusable:
+                    stage = _fused_stage_layer(
+                        stage, "contract", (0, 3), _ACT_SLOPE[act_type])
+                self.stages.append(stage)
                 self.is_contracting.append(True)
                 change = 1.0 / stride
                 if pool_type is not None:
                     change *= 0.5
                 self.spatsize_changes.append(change)
             else:
-                self.stages.append(sequential([
+                stage = sequential([
                     iden() if pool_type is None else upconv(n),
                     deconv(kernel, n, stride=stride),
                     mknorm(),
@@ -76,7 +122,11 @@ class Network(BaseNetwork):
                     deconv(kernel, n, stride=1),
                     mknorm(),
                     act(act_type),
-                ], name="expand%d" % n))
+                ], name="expand%d" % n)
+                if fusable:
+                    stage = _fused_stage_layer(
+                        stage, "expand", (1, 4), _ACT_SLOPE[act_type])
+                self.stages.append(stage)
                 self.is_contracting.append(False)
                 change = float(stride)
                 if pool_type is not None:
