@@ -141,6 +141,29 @@ def initialize_distributed(coordinator_address=None, num_processes=None,
         jax.local_device_count(), jax.device_count())
 
 
+def process_data_shard(mesh):
+    """(shard_id, num_shards) for per-host DATA loading under this mesh.
+
+    Hosts are example-sharded only along the 'data' axis: processes
+    whose devices sit in the same data row(s) (i.e. that differ only
+    along 'tile') must load the SAME examples — each contributes its
+    devices' spatial tile of them. A single process owning every data
+    row loads everything (shard 0 of 1).
+    """
+    me = jax.process_index()
+    dev = np.asarray(mesh.devices)  # (data, tile) array of Devices
+    my_rows = sorted({
+        d for d in range(dev.shape[0])
+        if any(x.process_index == me for x in dev[d].ravel())})
+    assert my_rows, "process %d owns no devices in the mesh" % me
+    n_data = dev.shape[0]
+    rows_per_proc = len(my_rows)
+    assert n_data % rows_per_proc == 0, (n_data, my_rows)
+    num_shards = n_data // rows_per_proc
+    shard_id = my_rows[0] // rows_per_proc
+    return shard_id, num_shards
+
+
 def make_global_batch(mesh, local_batch, tile_spatial=False,
                       replicate=False):
     """Assemble a global sharded batch from this process's local shard.
@@ -152,14 +175,22 @@ def make_global_batch(mesh, local_batch, tile_spatial=False,
     fixed validation set, iterated unsharded) — the arrays are placed
     replicated instead of being mis-assembled as per-host shards.
     """
+    # Hosts shard EXAMPLES along 'data' only; when 'tile' spans
+    # processes, the hosts of one data row carry identical local
+    # batches and each contributes its devices' spatial slice — the
+    # explicit global_shape tells JAX the local data covers the full
+    # spatial extent rather than being a concatenable shard of it.
+    _, num_data_shards = process_data_shard(mesh)
     out = {}
     for k, v in local_batch.items():
         if isinstance(v, list):
             out[k] = v
         elif replicate:
             out[k] = jax.make_array_from_process_local_data(
-                replicated(mesh), v)
+                replicated(mesh), v, global_shape=v.shape)
         else:
             sharding = batch_spec(mesh, k, tile_spatial, ndim=v.ndim)
-            out[k] = jax.make_array_from_process_local_data(sharding, v)
+            gshape = (v.shape[0] * num_data_shards,) + v.shape[1:]
+            out[k] = jax.make_array_from_process_local_data(
+                sharding, v, global_shape=gshape)
     return out

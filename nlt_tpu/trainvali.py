@@ -383,11 +383,16 @@ def main(argv=None):
         # ---- train over all batches ----
         batch_loss, batch_vis, batch_time = [], [], []
         epoch_t0 = time.time()
+        # Example sharding follows the mesh's data axis only: hosts
+        # that differ only along 'tile' load the SAME examples and
+        # contribute their devices' spatial slices (parallel/mesh.py).
+        data_shard_id, data_num_shards = mesh_mod.process_data_shard(
+            mesh)
         for batch_i, batch in enumerate(
                 dataset_train.iterate(
                     seed=epoch_i, no_batch=no_batch,
-                    shard_id=jax.process_index(),
-                    num_shards=jax.process_count())):
+                    shard_id=data_shard_id,
+                    num_shards=data_num_shards)):
             arrays, meta = strip_host_fields(batch)
             if is_multiprocess:
                 arrays = mesh_mod.make_global_batch(

@@ -324,3 +324,61 @@ def test_ema_params_track_updates(rng):
     loss_init, _ = eval_step(state_plain, arrays)
     np.testing.assert_allclose(
         float(loss_forced), float(loss_init), rtol=1e-6)
+
+
+def test_scatter_partitioning_fast_and_fallback(rng):
+    """The Pallas scatter's custom_partitioning: batch-sharded inputs
+    take the per-shard kernel path; odd shardings (group dim unsharded,
+    e.g. sharded along the row dim instead) fall back to a replicated
+    call — both produce np.add.at's result (VERDICT r1: pin that the
+    fallback engages rather than crashes)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from nlt_tpu.ops import scatter_pallas
+
+    n_groups, rows_g, per_g, w = 8, 16, 24, 8
+    idx = np.concatenate([
+        rng.randint(0, rows_g, per_g) + g * rows_g
+        for g in range(n_groups)]).astype(np.int32)
+    upd = rng.standard_normal((n_groups * per_g, w)).astype(np.float32)
+    want = np.zeros((n_groups * rows_g, w), np.float32)
+    np.add.at(want, idx, upd)
+
+    mesh = mesh_mod.make_mesh()
+
+    def run(idx_spec, upd_spec):
+        idx2 = jax.device_put(
+            idx.reshape(n_groups, per_g),
+            NamedSharding(mesh, idx_spec))
+        upd3 = jax.device_put(
+            upd.reshape(n_groups, per_g, w),
+            NamedSharding(mesh, upd_spec))
+        out = jax.jit(
+            lambda i2, u3: scatter_pallas.scatter_add_rows(
+                i2.reshape(-1), u3.reshape(-1, w),
+                n_groups * rows_g, n_groups))(idx2, upd3)
+        return np.asarray(out)
+
+    # Fast path: group dim sharded over 'data' (8 groups / 8 devices).
+    np.testing.assert_allclose(
+        run(P("data", None), P("data", None, None)), want, rtol=1e-6)
+    # Fallback: sharded along the ROW dim — the partition rule finds no
+    # usable group-dim axis and must run replicated, still correctly.
+    np.testing.assert_allclose(
+        run(P(None, "data"), P(None, "data", None)), want, rtol=1e-6)
+
+    # Unit-pin the rule itself: a row-dim sharding yields replicated
+    # arg/result shardings (shards=1).
+    from types import SimpleNamespace
+    arg_shapes = (
+        SimpleNamespace(shape=(n_groups, per_g),
+                        sharding=NamedSharding(mesh, P(None, "data"))),
+        SimpleNamespace(shape=(n_groups, per_g, w),
+                        sharding=NamedSharding(
+                            mesh, P(None, "data", None))),
+    )
+    result_shape = SimpleNamespace(shape=(n_groups, rows_g, w))
+    _, _, res_sh, arg_shs = scatter_pallas._partition(
+        mesh, arg_shapes, result_shape)
+    assert res_sh.spec == P(None, None, None)
+    assert all(s.spec[0] is None for s in arg_shs)
