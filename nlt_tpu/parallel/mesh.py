@@ -115,6 +115,24 @@ def shard_batch(mesh, batch, tile_spatial=False):
     return out
 
 
+def make_global_tree(mesh, tree):
+    """Assemble a global data-sharded array PYTREE from per-host local
+    values whose leading dim is the (local) batch axis — the statics
+    counterpart of make_global_batch (used by the multi-host GT-feature
+    cache: every leaf of {'feats', 'products'}, including the resample
+    plan arrays, is batch-leading)."""
+    _, num_shards = process_data_shard(mesh)
+
+    def leaf(v):
+        v = np.asarray(v)
+        spec = P(*(("data",) + (None,) * (v.ndim - 1)))
+        gshape = (v.shape[0] * num_shards,) + v.shape[1:]
+        return jax.make_array_from_process_local_data(
+            NamedSharding(mesh, spec), v, global_shape=gshape)
+
+    return jax.tree.map(leaf, tree)
+
+
 def initialize_distributed(coordinator_address=None, num_processes=None,
                            process_id=None):
     """Multi-host bring-up (controller-less, one process per host).

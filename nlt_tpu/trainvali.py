@@ -293,10 +293,11 @@ def main(argv=None):
                         config.get_bool("lpips_cache_gt", False))
             and hasattr(model, "feat_loss_indices")
             and (model.feat_loss_indices() or overrides_statics)):
-        if is_multiprocess or tile_spatial or no_batch:
+        if tile_spatial or no_batch:
+            # Tile sharding would need the cached images re-split per
+            # spatial shard; not worth it until a real tile pod exists.
             logger.warn(
-                "cache_static disabled (multi-host/tile-sharded/"
-                "no_batch run)")
+                "cache_static disabled (tile-sharded/no_batch run)")
         else:
             from .parallel import feat_cache as feat_cache_mod
             feat_cache = feat_cache_mod.GTFeatureCache(
@@ -306,6 +307,19 @@ def main(argv=None):
                 cached_statics=True, grad_accum=grad_accum,
                 nan_guard=nan_guard, ema_decay=ema_decay)
             extract_statics = train_mod.make_static_extractor(model)
+            if is_multiprocess:
+                # Multi-host: each host extracts and caches ITS OWN
+                # example slice on its local device(s), against a
+                # frozen params snapshot (everything the extractor
+                # touches — warp products and the frozen LPIPS
+                # features — is params-static for the whole run); the
+                # global statics arrays are assembled per batch like
+                # the data itself (mesh.make_global_tree).
+                _params_np = jax.tree.map(
+                    lambda a: np.asarray(a), state["params"])
+                extract_params_local = jax.device_put(
+                    _params_np, jax.local_devices()[0])
+                del _params_np
 
     # Summary writers + vis dir templates (reference: trainvali.py:144-161).
     writer_train = ScalarWriter(join(outdir, "summary_train"))
@@ -394,6 +408,7 @@ def main(argv=None):
                     shard_id=data_shard_id,
                     num_shards=data_num_shards)):
             arrays, meta = strip_host_fields(batch)
+            local_arrays = arrays
             if is_multiprocess:
                 arrays = mesh_mod.make_global_batch(
                     mesh, arrays, tile_spatial)
@@ -410,11 +425,22 @@ def main(argv=None):
                 # resamples and gt LPIPS taps), and the uncached train
                 # program never needs compiling at all. Loss params are
                 # frozen, so extraction timing vs the update is moot.
-                if not feat_cache.has_all(batch["id"]):
-                    feat_cache.insert(
-                        batch["id"],
-                        extract_statics(state["params"], arrays))
-                statics = feat_cache.gather(batch["id"])
+                if is_multiprocess:
+                    # Per-host cache over this host's example slice;
+                    # global statics assembled like the batch itself.
+                    if not feat_cache.has_all(batch["id"]):
+                        feat_cache.insert(
+                            batch["id"],
+                            extract_statics(
+                                extract_params_local, local_arrays))
+                    statics = mesh_mod.make_global_tree(
+                        mesh, feat_cache.gather(batch["id"]))
+                else:
+                    if not feat_cache.has_all(batch["id"]):
+                        feat_cache.insert(
+                            batch["id"],
+                            extract_statics(state["params"], arrays))
+                    statics = feat_cache.gather(batch["id"])
                 state, loss, to_vis = train_step_cached(
                     state, arrays, statics)
             else:

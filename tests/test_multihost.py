@@ -284,3 +284,26 @@ def test_two_process_tile_sharded_matches_single(tmp_path, scene_root):
     l1, l2 = _losses_of(join(out1, "x")), _losses_of(join(out2, "x"))
     assert len(l1) == len(l2) >= 1
     np.testing.assert_allclose(l1, l2, rtol=1e-5)
+
+
+def test_two_process_cached_statics_matches_uncached(tmp_path, scene_root):
+    """cache_static under multi-host (VERDICT r1 #7): per-host local
+    extraction + caches, global statics assembly — losses equal the
+    uncached 2-process run (and exercise the planned-resample and
+    LPIPS gt-feature cache paths)."""
+    base = _base_cfg(scene_root, loss="l1,1e+0lpips",
+                     lpips_weights="none", epochs=2)
+
+    def run2(cache_on, tag):
+        out = str(tmp_path / tag)
+        ini = str(tmp_path / (tag + ".ini"))
+        Config(dict(base, outroot=out, xname="x",
+                    cache_static=cache_on)).save(ini)
+        outs = _run_procs(ini, 2)
+        return _losses_of(join(out, "x")), outs
+
+    l_un, _ = run2(False, "uncached")
+    l_ca, outs = run2(True, "cached")
+    assert len(l_un) == len(l_ca) == 2
+    np.testing.assert_allclose(l_un, l_ca, rtol=1e-5)
+    assert "cache_static disabled" not in outs[0]
