@@ -8,10 +8,10 @@ Functional JAX re-design of the reference's Keras layer factories
   (Keras Conv2D defaults);
 - leakyrelu slope is 0.3 (Keras LeakyReLU default), elu alpha 1.0;
 - layer/instance/pixel norms match the reference's epsilons
-  (1e-3 / 1e-6 / 1e-8); 'batch' norm uses current-batch statistics in all
-  modes (a deliberate, documented deviation: the reference's moving-average
-  BatchNorm is stateful in a way that fights pure functions, and no
-  shipped config uses norm != None — reference configs :62);
+  (1e-3 / 1e-6 / 1e-8); 'batch' norm reproduces Keras
+  BatchNormalization semantics — batch statistics during training,
+  EMA moving statistics at inference, kept as zero-gradient leaves in
+  the params pytree (see the BatchNorm section below);
 - pooling is 2x2 stride-2 'SAME'.
 
 TPU-first: when kernel == stride (the shipped configs use kernel=2,
