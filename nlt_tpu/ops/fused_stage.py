@@ -46,7 +46,7 @@ def _lrelu_mask(y, slope):
                      jnp.asarray(slope, y.dtype))
 
 
-def _pick_bh(h_blocks_total, row_bytes, budget=(1 << 23), cap=32):
+def _pick_bh(h_blocks_total, row_bytes, budget=(3 << 22), cap=32):
     """Largest divisor of h_blocks_total with row_bytes*bh under budget.
 
     row_bytes must estimate the kernel's FULL per-row VMEM footprint
@@ -60,15 +60,27 @@ def _pick_bh(h_blocks_total, row_bytes, budget=(1 << 23), cap=32):
     return bh
 
 
+def _lanes(ch):
+    # Mosaic pads the lane (last) dim to 128: a 16-channel buffer costs
+    # as much VMEM as a 128-channel one.
+    return 128 * -(-ch // 128)
+
+
 def _contract_row_bytes(w2_len, c2, o, itemsize):
-    # Empirical: the 512^2 c2=64 o=32 f32 kernel measured ~1.03 MB/row
-    # of scoped VMEM at bh=16, ~2.2x the naive operand count. The 9x
-    # multiplier below (vs 4 bytes) bakes that in.
-    return w2_len * (2 * c2 + 10 * o) * 9 * max(itemsize // 4, 1)
+    # Empirical law (two OOM reports at bh=16): scoped VMEM ~= bh *
+    # W2 * 4 B * (2 lanes-of-input + 6 lanes-of-intermediate) with
+    # both channel counts padded to 128 — 16.5 MB at W2=256 for BOTH
+    # (c2=64, o=32) and (c2=32, o=16). itemsize covers x64 test runs.
+    return w2_len * max(itemsize, 4) * (
+        2 * _lanes(c2) + 6 * _lanes(o))
 
 
 def _expand_row_bytes(w_len, c, o, itemsize):
-    return w_len * (c + 20 * o) * 9 * max(itemsize // 4, 1)
+    # The expanding kernel keeps more quarter-res intermediates live
+    # (4 parity grids + shifted copies + 4 f32 accumulators + packed
+    # outputs) — budget generously.
+    return w_len * max(itemsize, 4) * (
+        _lanes(c) + 16 * _lanes(o))
 
 
 # ---------------------------------------------------------------------------
