@@ -36,6 +36,11 @@ from .seq import Network as BaseNetwork
 # on CPU meshes. Flag: NLT_TPU_FUSED_STAGE=1 (A/B measured at the
 # full-step level; see RESULTS.md).
 _FUSED_STAGE = os.environ.get("NLT_TPU_FUSED_STAGE", "0") == "1"
+# Route only stages whose input channel count reaches this threshold
+# to the fused kernel (thin-channel stages pad every VMEM buffer to
+# 128 lanes and lose to XLA's fused einsums; see ops/fused_stage.py
+# and RESULTS.md round-2 A/B).
+_FUSED_MIN_CH = int(os.environ.get("NLT_TPU_FUSED_MIN_CH", "0"))
 _ACT_SLOPE = {"relu": 0.0, "leakyrelu": 0.3}
 
 
@@ -52,6 +57,8 @@ def _fused_stage_layer(seq_layer, kind, conv_idx, slope):
                 else fs.expand_stage)
 
     def apply(params, x):
+        if x.shape[3] < _FUSED_MIN_CH:
+            return seq_layer.apply(params, x)
         interpret = jax.default_backend() != "tpu"
         return fused_fn(
             x, params[i1]["w"].astype(x.dtype),

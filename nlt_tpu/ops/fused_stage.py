@@ -14,6 +14,15 @@ on the VMEM-resident intermediate with sublane shifts, and the one
 cross-block dependency (a halo row) is a second BlockSpec over the
 same operand with a shifted index map.
 
+VERDICT (round-2 A/B, honest slope timing on the cached flagship
+barron step, 512^2/depth-256/bs 4/cov 0.5): MEASURED AND REJECTED for
+the default path — all-stages fused 58.2 ms vs 33.9 XLA (1.72x worse);
+c>=128-only fused 33.89 (wash). Mosaic pads every VMEM buffer to
+128 lanes, so the thin-channel high-res stages move 2-8x more VMEM
+bytes than their data; see RESULTS.md for the full entry. Kept
+in-tree (NLT_TPU_FUSED_STAGE=1 [+ NLT_TPU_FUSED_MIN_CH]) as the
+documented Pallas formulation with exact-equivalence tests.
+
 Reference roles: the cuDNN convs behind the Keras layers
 (reference: nlt/networks/elements.py:26-48) composed per stage by
 nlt/networks/convnet.py:31-90.
