@@ -144,17 +144,54 @@ def _contract_kernel(x_ref, xh_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     y1_ref[0] = y1m
 
 
+def _auto_packing(w2_len, c2, o):
+    """Columns to pack into lanes: largest power of 2 with P*o <= 128
+    (output lanes exactly one tile when o divides 128) and P*c2 <= 256
+    (input lanes at most two tiles), dividing the packed width. 1 =
+    the plain layout."""
+    p = 1
+    while (p < 8 and 2 * p * o <= 128 and 2 * p * c2 <= 256
+           and w2_len % (2 * p) == 0):
+        p *= 2
+    return p
+
+
 @functools.partial(
-    jax.jit, static_argnames=("slope", "interpret", "block_rows"))
+    jax.jit,
+    static_argnames=("slope", "interpret", "block_rows", "packing"))
 def _contract_fwd_pallas(x, w1, b1, w2, b2, slope=0.3, interpret=False,
-                         block_rows=None):
+                         block_rows=None, packing=None):
+    """packing=P > 1 runs the SAME kernel on a column-packed layout:
+    the (W2, C2) plane is viewed as (W2/P, P*C2) — a free reshape —
+    and the weights become block matrices (kron with identity /
+    shifted identity), so P columns fill the 128-lane registers that
+    Mosaic would otherwise pad a thin channel dim into. The stride-1
+    conv's cross-pack tap rides the existing jshift operand with a
+    corner block matrix. Output unpacking is a free reshape."""
     n, h, w, c = x.shape
     assert h % 2 == 0 and w % 2 == 0, (h, w)
     o = w1.shape[3]
     h2, w2_len, c2 = h // 2, w // 2, 2 * c
-    x5 = x.reshape(n, h2, 2, w2_len, c2)          # free view of NHWC
     w1r = w1.reshape(2, c2, o).astype(x.dtype)    # (di, (dj, c), o)
     w2k = w2.astype(x.dtype)
+    p = packing if packing is not None else _auto_packing(w2_len, c2, o)
+    if p > 1:
+        eye = jnp.eye(p, dtype=x.dtype)
+        sub = jnp.eye(p, k=-1, dtype=x.dtype)    # block (q+1) -> q
+        corner = jnp.zeros((p, p), x.dtype).at[0, p - 1].set(1.0)
+        # s2 conv: block-diagonal per row parity.
+        w1r = jnp.stack([jnp.kron(eye, w1r[di]) for di in range(2)])
+        # s1 conv: [ei][0] = in-pack taps (diag dj=0 + subdiag dj=1),
+        # [ei][1] = the cross-pack dj=1 tap, fed the jshift operand.
+        w2k = jnp.stack([
+            jnp.stack([
+                jnp.kron(eye, w2k[ei, 0]) + jnp.kron(sub, w2k[ei, 1]),
+                jnp.kron(corner, w2k[ei, 1])])
+            for ei in range(2)])
+        b1 = jnp.tile(b1.reshape(-1), p)
+        b2 = jnp.tile(b2.reshape(-1), p)
+        w2_len, c2, o = w2_len // p, p * c2, p * o
+    x5 = x.reshape(n, h2, 2, w2_len, c2)          # free view of NHWC
 
     bh = block_rows or _pick_bh(
         h2, _contract_row_bytes(w2_len, c2, o, x.dtype.itemsize))
@@ -192,6 +229,11 @@ def _contract_fwd_pallas(x, w1, b1, w2, b2, slope=0.3, interpret=False,
         interpret=interpret,
     )(x5, x5, w1r, b1.reshape(1, o).astype(x.dtype), w2k,
       b2.reshape(1, o).astype(x.dtype))
+    if p > 1:
+        # Unpack the column-packed lanes: (W2/P, P*O) -> (W2, O) is a
+        # free row-major reshape.
+        y2 = y2.reshape(n, h2, w2_len * p, o // p)
+        y1 = y1.reshape(n, h2, w2_len * p, o // p)
     return y2, y1
 
 

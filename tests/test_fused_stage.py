@@ -134,3 +134,21 @@ def test_model_equivalent_with_fused_stages(rng, monkeypatch):
     for a, b in zip(flat_s, flat_f):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("packing", [1, 2, 4, 8])
+def test_contract_packed_layouts_equal(rng, packing):
+    """Column-packed lane layouts (block-matrix weights on a free
+    reshape view) reproduce the plain kernel bit-for-bit."""
+    x = _t(rng, 2, 16, 32, 4)  # c2=8, W2=16: supports P up to 8
+    o = 6
+    args = (_t(rng, 2, 2, 4, o) * 0.3, _t(rng, o) * 0.1,
+            _t(rng, 2, 2, o, o) * 0.3, _t(rng, o) * 0.1)
+    want, y1w = fs._contract_fwd_pallas(
+        x, *args, interpret=True, packing=1)
+    got, y1g = fs._contract_fwd_pallas(
+        x, *args, interpret=True, packing=packing)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(y1g), np.asarray(y1w),
+                               atol=1e-6)
