@@ -407,12 +407,170 @@ def _expand_kernel(x_ref, xh_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         y1_ref[0, :, u] = jnp.concatenate([Y[u][0], Y[u][1]], axis=-1)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("slope", "interpret", "block_rows"))
-def _expand_fwd_pallas(x, w1, b1, w2, b2, slope=0.3, interpret=False,
-                       block_rows=None):
+def _expand_kernel_packed(x_ref, xh_ref, w1i_ref, w1p_ref, wa_ref,
+                          wb_ref, wc_ref, b1i_ref, b1p_ref, b2_ref,
+                          y2_ref, y1_ref, *, bh, wp, pc, po, slope):
+    """Column-packed expanding stage: P input columns per lane group.
+
+    Lane interleaves ((p, dj, o) orders) are folded into the kron
+    block weights built by the caller, so the kernel is matmuls +
+    untiled-axis shifts only. Operand lanes: x (P*C); y1 parity grids
+    (P*O); outputs (2*P*O)."""
+    f32 = jnp.float32
+    xm = x_ref[0]       # (bh, Wp, PC)
+    xh = xh_ref[0]      # (1, Wp, PC) — previous block's last row
+    odt = y2_ref.dtype
+    b1i = b1i_ref[...]  # (1, 2PO)
+    b1p = b1p_ref[...]  # (1, PO)
+    b2t = b2_ref[...]   # (1, 2PO)
+
+    def mm(t, w_ref_slice, rows, n_out):
+        return jnp.dot(t.reshape(rows * wp, t.shape[-1]), w_ref_slice,
+                       preferred_element_type=f32).reshape(
+                           rows, wp, n_out)
+
+    # s2 deconv: interleaved y1 (for the residual output) and
+    # parity-separated grids (for the second conv).
+    w1i = w1i_ref[...]   # (2, PC, 2PO)
+    w1p = w1p_ref[...]   # (2, 2, PC, PO): [di][v]
+    for di in range(2):
+        y1_ref[0, :, di] = _lrelu(
+            mm(xm, w1i[di], bh, 2 * po) + b1i.astype(f32),
+            slope).astype(odt)
+    Ypar = [[_lrelu(mm(xm, w1p[di, v], bh, po) + b1p.astype(f32),
+                    slope).astype(odt)
+             for v in range(2)] for di in range(2)]
+    is_first = pl.program_id(1) == 0
+    Yh = [_lrelu(mm(xh, w1p[1, v], 1, po) + b1p.astype(f32),
+                 slope).astype(odt) for v in range(2)]
+    Yh = [jnp.where(is_first, jnp.zeros_like(t), t) for t in Yh]
+
+    def ishift(t, halo):
+        return jnp.concatenate([halo, t[:-1]], axis=0)
+
+    def packshift(t):   # t[:, jp] <- t[:, jp-1], zero at the left
+        return jnp.concatenate(
+            [jnp.zeros_like(t[:, :1]), t[:, :-1]], axis=1)
+
+    wa = wa_ref[...]    # (2, PO, 2PO)
+    wb = wb_ref[...]
+    wc = wc_ref[...]
+    for u in range(2):
+        acc = b2t.astype(f32)
+        for ei in range(2):
+            rp = u - ei
+            par0 = Ypar[rp & 1][0]
+            par1 = Ypar[rp & 1][1]
+            if rp < 0:
+                par0 = ishift(par0, Yh[0])
+                par1 = ishift(par1, Yh[1])
+            acc = acc + mm(par0, wa[ei], bh, 2 * po).reshape(
+                bh * wp, 2 * po)
+            acc = acc + mm(par1, wb[ei], bh, 2 * po).reshape(
+                bh * wp, 2 * po)
+            acc = acc + mm(packshift(par1), wc[ei], bh, 2 * po).reshape(
+                bh * wp, 2 * po)
+        y2_ref[0, :, u] = _lrelu(acc, slope).reshape(
+            bh, wp, 2 * po).astype(odt)
+
+
+def _expand_packed_weights(w1, w2, b1, b2, p, dtype):
+    """kron block matrices for the packed expanding kernel."""
+    o = w1.shape[3]
+    eye = jnp.eye(p, dtype=dtype)
+    # E1[v]: slot p -> interleaved slot (2p + v).
+    e1 = [jnp.zeros((p, 2 * p), dtype).at[
+        jnp.arange(p), 2 * jnp.arange(p) + v].set(1.0) for v in range(2)]
+    # E2: slot q -> interleaved slot (2(q+1) + 0)  [in-pack j-1 tap].
+    e2 = jnp.zeros((p, 2 * p), dtype)
+    if p > 1:
+        e2 = e2.at[jnp.arange(p - 1), 2 * (jnp.arange(p - 1) + 1)].set(
+            1.0)
+    # E3: slot P-1 of the PREVIOUS pack -> interleaved slot 0.
+    e3 = jnp.zeros((p, 2 * p), dtype).at[p - 1, 0].set(1.0)
+
+    w1 = w1.astype(dtype)
+    w2 = w2.astype(dtype)
+    w1i = jnp.stack([
+        jnp.kron(e1[0], w1[di, 0]) + jnp.kron(e1[1], w1[di, 1])
+        for di in range(2)])                          # (2, PC, 2PO)
+    w1p = jnp.stack([
+        jnp.stack([jnp.kron(eye, w1[di, v]) for v in range(2)])
+        for di in range(2)])                          # (2, 2, PC, PO)
+    wa = jnp.stack([
+        jnp.kron(e1[0], w2[ei, 0]) + jnp.kron(e1[1], w2[ei, 1])
+        for ei in range(2)])                          # (2, PO, 2PO)
+    wb = jnp.stack([
+        jnp.kron(e1[1], w2[ei, 0]) + jnp.kron(e2, w2[ei, 1])
+        for ei in range(2)])
+    wc = jnp.stack([jnp.kron(e3, w2[ei, 1]) for ei in range(2)])
+    b1i = jnp.tile(b1.reshape(-1), 2 * p).astype(dtype)
+    b1p = jnp.tile(b1.reshape(-1), p).astype(dtype)
+    b2t = jnp.tile(b2.reshape(-1), 2 * p).astype(dtype)
+    return w1i, w1p, wa, wb, wc, b1i, b1p, b2t
+
+
+def _expand_fwd_packed(x, w1, b1, w2, b2, p, slope, interpret,
+                       block_rows):
     n, h, w, c = x.shape
     o = w1.shape[3]
+    wp, pc, po = w // p, p * c, p * o
+    xp = x.reshape(n, h, wp, pc)    # free view
+    w1i, w1p, wa, wb, wc, b1i, b1p, b2t = _expand_packed_weights(
+        w1, w2, b1, b2, p, x.dtype)
+    bh = block_rows or _pick_bh(
+        h, _expand_row_bytes(wp, pc, po, x.dtype.itemsize))
+    grid = (n, h // bh)
+    kernel = functools.partial(
+        _expand_kernel_packed, bh=bh, wp=wp, pc=pc, po=po, slope=slope)
+    const = lambda *shape: pl.BlockSpec(
+        shape, lambda ni, hi: (0,) * len(shape))
+    y2p, y1p = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bh, wp, pc), lambda ni, hi: (ni, hi, 0, 0)),
+            pl.BlockSpec((1, 1, wp, pc),
+                         lambda ni, hi, _bh=bh: (
+                             ni, jnp.maximum(hi * _bh - 1, 0), 0, 0)),
+            const(2, pc, 2 * po),
+            const(2, 2, pc, po),
+            const(2, po, 2 * po),
+            const(2, po, 2 * po),
+            const(2, po, 2 * po),
+            const(1, 2 * po),
+            const(1, po),
+            const(1, 2 * po),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bh, 2, wp, 2 * po),
+                         lambda ni, hi: (ni, hi, 0, 0, 0)),
+            pl.BlockSpec((1, bh, 2, wp, 2 * po),
+                         lambda ni, hi: (ni, hi, 0, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, h, 2, wp, 2 * po), x.dtype),
+            jax.ShapeDtypeStruct((n, h, 2, wp, 2 * po), x.dtype),
+        ],
+        interpret=interpret,
+    )(xp, xp, w1i, w1p, wa, wb, wc, b1i.reshape(1, -1),
+      b1p.reshape(1, -1), b2t.reshape(1, -1))
+    # (N, H, 2, W/P, 2PO) -> (N, 2H, 2W, O): free row-major reshape.
+    return (y2p.reshape(n, 2 * h, 2 * w, o),
+            y1p.reshape(n, 2 * h, 2 * w, o))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("slope", "interpret", "block_rows", "packing"))
+def _expand_fwd_pallas(x, w1, b1, w2, b2, slope=0.3, interpret=False,
+                       block_rows=None, packing=None):
+    n, h, w, c = x.shape
+    o = w1.shape[3]
+    p = packing if packing is not None else _auto_packing(w, c, o)
+    if p > 1:
+        return _expand_fwd_packed(x, w1, b1, w2, b2, p, slope,
+                                  interpret, block_rows)
     bh = block_rows or _pick_bh(
         h, _expand_row_bytes(w, c, o, x.dtype.itemsize))
     grid = (n, h // bh)

@@ -152,3 +152,21 @@ def test_contract_packed_layouts_equal(rng, packing):
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(y1g), np.asarray(y1w),
                                atol=1e-6)
+
+
+@pytest.mark.parametrize("packing", [2, 4])
+def test_expand_packed_layouts_equal(rng, packing):
+    """The packed expanding kernel (interleaves folded into kron block
+    weights) equals the plain kernel and the elements path."""
+    x = _t(rng, 2, 8, 16, 6)
+    c, o = 6, 5
+    args = (_t(rng, 2, 2, c, o) * 0.3, _t(rng, o) * 0.1,
+            _t(rng, 2, 2, o, o) * 0.3, _t(rng, o) * 0.1)
+    want, y1w = fs._expand_fwd_pallas(
+        x, *args, interpret=True, packing=1)
+    got, y1g = fs._expand_fwd_pallas(
+        x, *args, interpret=True, packing=packing)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(y1g), np.asarray(y1w),
+                               atol=1e-6)
