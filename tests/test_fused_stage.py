@@ -170,3 +170,29 @@ def test_expand_packed_layouts_equal(rng, packing):
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(y1g), np.asarray(y1w),
                                atol=1e-6)
+
+
+def test_fused_stages_bfloat16(rng):
+    """The kernels run in bf16 activations (compute_dtype knob): f32
+    matmul accumulation inside, outputs within bf16 tolerance of the
+    f32 path."""
+    x = _t(rng, 1, 16, 16, 6)
+    o = 8
+    args = (_t(rng, 2, 2, 6, o) * 0.3, _t(rng, o) * 0.1,
+            _t(rng, 2, 2, o, o) * 0.3, _t(rng, o) * 0.1)
+    f32 = fs.contract_stage(x, *args, 0.3, True)
+    bf = fs.contract_stage(x.astype(jnp.bfloat16), *args, 0.3, True)
+    assert bf.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(bf, np.float32), np.asarray(f32), atol=0.05,
+        rtol=0.05)
+
+    xe = _t(rng, 1, 8, 8, o)
+    argse = (_t(rng, 2, 2, o, 6) * 0.3, _t(rng, 6) * 0.1,
+             _t(rng, 2, 2, 6, 6) * 0.3, _t(rng, 6) * 0.1)
+    f32e = fs.expand_stage(xe, *argse, 0.3, True)
+    bfe = fs.expand_stage(xe.astype(jnp.bfloat16), *argse, 0.3, True)
+    assert bfe.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(bfe, np.float32), np.asarray(f32e), atol=0.05,
+        rtol=0.05)
