@@ -16,12 +16,27 @@ same operand with a shifted index map.
 
 VERDICT (round-2 A/B, honest slope timing on the cached flagship
 barron step, 512^2/depth-256/bs 4/cov 0.5): MEASURED AND REJECTED for
-the default path — all-stages fused 58.2 ms vs 33.9 XLA (1.72x worse);
-c>=128-only fused 33.89 (wash). Mosaic pads every VMEM buffer to
-128 lanes, so the thin-channel high-res stages move 2-8x more VMEM
-bytes than their data; see RESULTS.md for the full entry. Kept
-in-tree (NLT_TPU_FUSED_STAGE=1 [+ NLT_TPU_FUSED_MIN_CH]) as the
-documented Pallas formulation with exact-equivalence tests.
+the default path, twice —
+  1. plain layout: all-stages fused 58.2 ms vs 33.9 XLA (1.72x
+     worse); c>=128-only fused 33.89 (wash). Mosaic pads every VMEM
+     buffer to 128 lanes, so thin-channel high-res stages move 2-8x
+     their data.
+  2. column-packed layout (this file's packing=P path, which fixes
+     the lane utilization: P spatial columns share the 128 lanes via
+     kron block weights): all-stages fused 45.6 ms — better than
+     plain fusion, still 35% worse than XLA. The device profile
+     (tools/profile_step.py) shows why: 14.4 ms/step of layout
+     copies/reshapes at the pallas_call boundaries (attributed to the
+     convnet.py call site). XLA lays the surrounding image tensors
+     out W-minor ({2,3,1,0}) for its own fused einsums, and every
+     custom-call boundary forces a materialization to/from the
+     default C-minor layout — more copy traffic than the fusion
+     saves. Beating XLA here would need fusing ACROSS those
+     boundaries (a whole-network mega-kernel spanning the dual-path
+     concats), not per-stage kernels.
+See RESULTS.md for the full entries. Kept in-tree
+(NLT_TPU_FUSED_STAGE=1 [+ NLT_TPU_FUSED_MIN_CH]) as the documented
+Pallas formulation with exact-equivalence tests.
 
 Reference roles: the cuDNN convs behind the Keras layers
 (reference: nlt/networks/elements.py:26-48) composed per stage by
