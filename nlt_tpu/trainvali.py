@@ -321,6 +321,19 @@ def main(argv=None):
                     _params_np, jax.local_devices()[0])
                 del _params_np
 
+    # Device-resident example cache: every batch field is static per
+    # example id, so from epoch 1 on batches are assembled on-device
+    # from HBM-cached rows instead of re-crossing the host->device
+    # link (parallel/device_cache.py). Identical values and shardings
+    # to mesh.shard_batch. Knobs: cache_device (default on),
+    # cache_device_mb (insertion cap; full cache = stream as before).
+    device_cache = None
+    if (config.get_bool("cache_device", True)
+            and not is_multiprocess and not no_batch):
+        from .parallel import device_cache as device_cache_mod
+        device_cache = device_cache_mod.DeviceExampleCache(
+            cap_mb=config.get_int("cache_device_mb", 2048))
+
     # Summary writers + vis dir templates (reference: trainvali.py:144-161).
     writer_train = ScalarWriter(join(outdir, "summary_train"))
     writer_vali = ScalarWriter(join(outdir, "summary_vali"))
@@ -412,6 +425,9 @@ def main(argv=None):
             if is_multiprocess:
                 arrays = mesh_mod.make_global_batch(
                     mesh, arrays, tile_spatial)
+            elif device_cache is not None:
+                arrays = device_cache.shard_batch(
+                    mesh, arrays, batch["id"], tile_spatial)
             else:
                 arrays = mesh_mod.shard_batch(mesh, arrays, tile_spatial)
             if not profile_state["done"] and batch_i == 1:
@@ -545,6 +561,9 @@ def main(argv=None):
                     # Every host iterated the SAME unsharded vali set.
                     arrays = mesh_mod.make_global_batch(
                         mesh, arrays, tile_spatial, replicate=True)
+                elif device_cache is not None:
+                    arrays = device_cache.shard_batch(
+                        mesh, arrays, batch["id"], tile_spatial)
                 else:
                     arrays = mesh_mod.shard_batch(
                         mesh, arrays, tile_spatial)
@@ -584,6 +603,12 @@ def main(argv=None):
             maintain_epoch_queue(
                 vali_deque, vali_vis_epoch_dir.format(e=step))
 
+        if device_cache is not None and step == epoch_restored + 1:
+            st = device_cache.stats()
+            logger.info(
+                "Device example cache after epoch 1: %d examples, "
+                "%.0f MB (hits %d / misses %d)", st["examples"],
+                st["mb"], st["hits"], st["misses"])
         logger.info(
             "Epoch %d/%d  loss %.6f  (%.3f s/batch)", step, epochs,
             float(np.mean(batch_loss)), float(np.mean(batch_time)))
