@@ -103,16 +103,20 @@ class DeviceExampleCache:
         """One jitted concat over the row pytrees, emitted directly
         into the shardings mesh.shard_batch would pick (remainder
         batches that don't divide the data axis replicate, exactly as
-        there)."""
+        there). mesh=None (single-device use, e.g. serving) skips the
+        sharding constraint entirely."""
         n = len(rows)
-        n_data = mesh.shape["data"]
-        out_shardings = {}
-        for k, v in arrays.items():
-            if n % n_data != 0:
-                out_shardings[k] = mesh_mod.replicated(mesh)
-            else:
-                out_shardings[k] = mesh_mod.batch_spec(
-                    mesh, k, tile_spatial, ndim=v.ndim)
+        jit_kwargs = {}
+        if mesh is not None:
+            n_data = mesh.shape["data"]
+            out_shardings = {}
+            for k, v in arrays.items():
+                if n % n_data != 0:
+                    out_shardings[k] = mesh_mod.replicated(mesh)
+                else:
+                    out_shardings[k] = mesh_mod.batch_spec(
+                        mesh, k, tile_spatial, ndim=v.ndim)
+            jit_kwargs["out_shardings"] = out_shardings
         key = (id(mesh), n, tile_spatial,
                self._signature(arrays, None))
         fn = self._assemble.get(key)
@@ -123,6 +127,6 @@ class DeviceExampleCache:
                 return {k: jnp.concatenate([r[k] for r in rws], axis=0)
                         for k in keys}
 
-            fn = jax.jit(concat, out_shardings=out_shardings)
+            fn = jax.jit(concat, **jit_kwargs)
             self._assemble[key] = fn
         return fn(*rows)

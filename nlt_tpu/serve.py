@@ -51,6 +51,14 @@ class Server:
         self.pack = pack
         self._feat_agg = None
         self._predict = None
+        # Request inputs are static per example id (same contract as
+        # training batches), so repeat queries — light/view sweeps,
+        # interactive viewers revisiting preset configs, video loops —
+        # can skip the host->device upload entirely: predict(batch,
+        # ids=...) serves cached HBM rows (parallel/device_cache.py).
+        from .parallel import device_cache as device_cache_mod
+        self._input_cache = device_cache_mod.DeviceExampleCache(
+            cap_mb=int(config.get_int("cache_device_mb", 2048)))
 
     def precompute_obs(self, dataset=None, n_obs_batches=1):
         """Average the observation feature pyramid from training batches
@@ -94,26 +102,37 @@ class Server:
         self._predict = jax.jit(fwd)
         self._bs = bs
 
-    def predict(self, batch):
+    def _place(self, batch, ids):
+        arrays = {k: v for k, v in batch.items()
+                  if not isinstance(v, list)}
+        if ids is None:
+            return {k: jnp.asarray(v) for k, v in arrays.items()}
+        return self._input_cache.shard_batch(None, arrays, ids)
+
+    def predict(self, batch, ids=None):
         """batch: dict of numpy arrays (the standard array fields). The
         first call for a batch size compiles; subsequent calls are one
-        XLA dispatch."""
-        arrays = {k: jnp.asarray(v) for k, v in batch.items()
-                  if not isinstance(v, list)}
+        XLA dispatch. ids (one per row, e.g. batch['id']): serve repeat
+        queries from the device input cache — a request whose ids were
+        all seen before uploads nothing."""
+        arrays = self._place(batch, ids)
         bs = arrays["base"].shape[0]
         if self._predict is None or self._bs != bs:
             self._build(bs)
         out = self._predict(self.state["params"], arrays)
         return {k: np.asarray(v) for k, v in out.items()}
 
-    def benchmark(self, batch, n=20):
+    def benchmark(self, batch, n=20, ids=None):
         """Honest serving numbers: latency is per-request with outputs
         materialized on the host (what a server actually delivers);
         throughput pipelines n requests and fetches them all (async
         dispatch overlaps compute). block_until_ready is NOT used — it
-        does not synchronize on this stack (utils/timing.py)."""
-        arrays = {k: jnp.asarray(v) for k, v in batch.items()
-                  if not isinstance(v, list)}
+        does not synchronize on this stack (utils/timing.py).
+
+        ids: benchmark the repeat-query path (device input cache) —
+        each timed request re-places the batch through the cache, as a
+        server loop would, instead of reusing pre-uploaded arrays."""
+        arrays = self._place(batch, ids)
         bs = arrays["base"].shape[0]
         if self._predict is None or self._bs != bs:
             self._build(bs)
@@ -121,17 +140,22 @@ class Server:
         out = self._predict(self.state["params"], arrays)
         _ = {k: np.asarray(v) for k, v in out.items()}
 
+        # Each timed request re-places the inputs like a server loop
+        # would: a fresh host upload (ids=None) or a device-cache
+        # assembly (ids given).
         lats = []
         for _i in range(max(5, n // 4)):
             t0 = time.perf_counter()
-            out = self._predict(self.state["params"], arrays)
+            out = self._predict(
+                self.state["params"], self._place(batch, ids))
             _ = {k: np.asarray(v) for k, v in out.items()}
             lats.append(time.perf_counter() - t0)
         latency = float(np.median(lats))
 
         t0 = time.perf_counter()
-        outs = [self._predict(self.state["params"], arrays)
-                for _ in range(n)]
+        outs = [self._predict(
+            self.state["params"], self._place(batch, ids))
+            for _ in range(n)]
         for o in outs:
             for v in o.values():
                 np.asarray(v)
@@ -161,9 +185,15 @@ def main(argv=None):
     batch = next(iter(dataset.iterate(seed=0)))
     stats = server.benchmark(batch)
     logger.info(
-        "Serving benchmark (bs=%d): %.2f ms/request, %.1f frames/sec",
+        "Serving benchmark (bs=%d, streamed): %.2f ms/request, "
+        "%.1f frames/sec",
         args.bs, stats["latency_s"] * 1000, stats["fps"])
-    return stats
+    cached = server.benchmark(batch, ids=batch["id"])
+    logger.info(
+        "Serving benchmark (bs=%d, repeat query via device input "
+        "cache): %.2f ms/request, %.1f frames/sec",
+        args.bs, cached["latency_s"] * 1000, cached["fps"])
+    return {"streamed": stats, "cached": cached}
 
 
 if __name__ == "__main__":

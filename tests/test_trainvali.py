@@ -209,6 +209,16 @@ def test_serve(trained):
     stats = server.benchmark(batch, n=3)
     assert stats["fps"] > 0
 
+    # Repeat-query path: the device input cache must be invisible to
+    # the prediction, and repeat requests must be all-hits.
+    out_c1 = server.predict(batch, ids=batch["id"])
+    out_c2 = server.predict(batch, ids=batch["id"])
+    np.testing.assert_array_equal(out_c1["pred_camspc"],
+                                  out["pred_camspc"])
+    np.testing.assert_array_equal(out_c2["pred_camspc"],
+                                  out["pred_camspc"])
+    assert server._input_cache.hits == len(batch["id"])
+
     # Device-side prediction packing for thin-host deployments.
     packed = Server(join(outdir, "checkpoints"), pack="uint8")
     packed.precompute_obs(n_obs_batches=1)
