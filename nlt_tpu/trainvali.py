@@ -328,8 +328,7 @@ def main(argv=None):
     # to mesh.shard_batch. Knobs: cache_device (default on),
     # cache_device_mb (insertion cap; full cache = stream as before).
     device_cache = None
-    if (config.get_bool("cache_device", True)
-            and not is_multiprocess and not no_batch):
+    if config.get_bool("cache_device", True) and not no_batch:
         from .parallel import device_cache as device_cache_mod
         device_cache = device_cache_mod.DeviceExampleCache(
             cap_mb=config.get_int("cache_device_mb", 2048))
@@ -423,8 +422,14 @@ def main(argv=None):
             arrays, meta = strip_host_fields(batch)
             local_arrays = arrays
             if is_multiprocess:
-                arrays = mesh_mod.make_global_batch(
-                    mesh, arrays, tile_spatial)
+                if device_cache is not None:
+                    # Per-host device shards (each host caches only its
+                    # own example slice; parallel/device_cache.py).
+                    arrays = device_cache.make_global_batch(
+                        mesh, arrays, batch["id"], tile_spatial)
+                else:
+                    arrays = mesh_mod.make_global_batch(
+                        mesh, arrays, tile_spatial)
             elif device_cache is not None:
                 arrays = device_cache.shard_batch(
                     mesh, arrays, batch["id"], tile_spatial)

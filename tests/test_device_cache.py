@@ -168,6 +168,44 @@ def test_driver_losses_equal_cache_on_off(tmp_path):
     assert losses[True] == pytest.approx(losses[False], rel=1e-6)
 
 
+@pytest.mark.parametrize("tile_spatial", [False, True])
+def test_make_global_batch_matches_mesh(rng, tile_spatial):
+    """The multi-host assembly (cached per-device shards +
+    make_array_from_single_device_arrays) must equal
+    mesh.make_global_batch in values and placement. Single process
+    covers the device->rows and spatial-slice mapping; the true
+    multi-process path runs in tests/test_multihost.py (cache_device
+    defaults on there)."""
+    mesh = mesh_mod.make_mesh(n_data=4, n_tile=2)
+    batch = make_batch(rng, 8)
+    ids = ["e%d" % i for i in range(8)]
+    cache = dc_mod.DeviceExampleCache(cap_mb=64)
+    got = cache.make_global_batch(mesh, batch, ids, tile_spatial)
+    want = mesh_mod.make_global_batch(mesh, batch, tile_spatial)
+    assert_tree_equal(got, want)
+    assert cache.misses == 8 and cache.hits == 0
+
+    # Second pass: all hits, host mutation invisible.
+    saved = {k: np.array(v) for k, v in batch.items()}
+    for v in batch.values():
+        v[...] = 0
+    got2 = cache.make_global_batch(mesh, batch, ids, tile_spatial)
+    assert cache.hits == 8
+    for k in saved:
+        np.testing.assert_array_equal(np.asarray(got2[k]), saved[k])
+
+
+def test_make_global_batch_cap_streams(rng):
+    mesh = mesh_mod.make_mesh(n_data=4, n_tile=1)
+    batch = make_batch(rng, 4)
+    cache = dc_mod.DeviceExampleCache(cap_mb=0)
+    for _ in range(2):
+        got = cache.make_global_batch(mesh, batch, list("abcd"))
+        want = mesh_mod.make_global_batch(mesh, batch)
+        assert_tree_equal(got, want)
+    assert cache.hits == 0 and cache.stats()["examples"] == 0
+
+
 def test_stats_accessor():
     cache = dc_mod.DeviceExampleCache(cap_mb=64)
     st = cache.stats()
