@@ -109,12 +109,21 @@ class Server:
             return {k: jnp.asarray(v) for k, v in arrays.items()}
         return self._input_cache.shard_batch(None, arrays, ids)
 
+    def invalidate(self, ids=None):
+        """Drop device-cached request inputs (all, or the given ids).
+        Call when a client reuses an id with DIFFERENT array content —
+        the cache contract is that content is a pure function of the
+        id, so a matching id is otherwise served from HBM as-is."""
+        self._input_cache.invalidate(ids)
+
     def predict(self, batch, ids=None):
         """batch: dict of numpy arrays (the standard array fields). The
         first call for a batch size compiles; subsequent calls are one
         XLA dispatch. ids (one per row, e.g. batch['id']): serve repeat
         queries from the device input cache — a request whose ids were
-        all seen before uploads nothing."""
+        all seen before uploads nothing. The cached content wins for a
+        reused id (content must be a pure function of the id; use
+        invalidate() if a client breaks that contract)."""
         arrays = self._place(batch, ids)
         bs = arrays["base"].shape[0]
         if self._predict is None or self._bs != bs:

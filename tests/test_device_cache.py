@@ -195,6 +195,78 @@ def test_make_global_batch_matches_mesh(rng, tile_spatial):
         np.testing.assert_array_equal(np.asarray(got2[k]), saved[k])
 
 
+@pytest.mark.parametrize("tile_spatial", [False, True])
+def test_make_global_batch_survives_reshuffle(rng, tile_spatial):
+    """Regression: the per-epoch shuffle moves an example to a
+    different batch position — and therefore to different data-row
+    devices on any host owning >1 data row. Cached shard parts are
+    keyed by spatial shard (not device) and moved D2D on demand, so a
+    permuted second epoch must assemble correctly from the cache
+    (device-keyed storage raised KeyError here)."""
+    mesh = mesh_mod.make_mesh(n_data=4, n_tile=2)
+    batch = make_batch(rng, 8)
+    ids = ["e%d" % i for i in range(8)]
+    cache = dc_mod.DeviceExampleCache(cap_mb=64)
+    cache.make_global_batch(mesh, batch, ids, tile_spatial)
+    perm = np.random.RandomState(1).permutation(8)
+    shuf = {k: v[perm] for k, v in batch.items()}
+    got = cache.make_global_batch(
+        mesh, shuf, [ids[i] for i in perm], tile_spatial)
+    want = mesh_mod.make_global_batch(mesh, shuf, tile_spatial)
+    assert cache.hits == 8
+    assert_tree_equal(got, want)
+
+
+def test_stale_signature_entry_evicted_at_cap(rng):
+    """A signature-mismatched entry whose replacement doesn't fit the
+    cap is evicted (it can never hit again), not left pinning HBM."""
+    mesh = mesh_mod.make_mesh(n_data=2, n_tile=1)
+    b1 = make_batch(rng, 2)
+    cache = dc_mod.DeviceExampleCache(cap_mb=64)
+    cache.shard_batch(mesh, b1, ["a", "b"])
+    assert cache.stats()["examples"] == 2
+    # Shrink the cap below the current usage, then change the contract.
+    cache.cap_bytes = 0
+    b2 = {k: v for k, v in make_batch(rng, 2).items()
+          if k != "meta_vec"}
+    got = cache.shard_batch(mesh, b2, ["a", "b"])
+    np.testing.assert_array_equal(np.asarray(got["rgb"]), b2["rgb"])
+    assert cache.stats()["examples"] == 0
+    assert cache.stats()["mb"] == 0.0
+
+
+def test_invalidate(rng):
+    mesh = mesh_mod.make_mesh(n_data=2, n_tile=1)
+    batch = make_batch(rng, 2)
+    cache = dc_mod.DeviceExampleCache(cap_mb=64)
+    cache.shard_batch(mesh, batch, ["a", "b"])
+    cache.invalidate(["a"])
+    assert cache.stats()["examples"] == 1
+    cache.invalidate()
+    assert cache.stats() == {
+        "hits": 0, "misses": 2, "examples": 0, "mb": 0.0}
+
+
+def test_full_cache_all_miss_uses_plain_path(rng):
+    """At cap with a fully-uncached batch, the cache routes through
+    mesh.shard_batch (no per-row copies) and still counts misses."""
+    mesh = mesh_mod.make_mesh(n_data=4, n_tile=1)
+    b1 = make_batch(rng, 4)
+    cache = dc_mod.DeviceExampleCache(cap_mb=64)
+    cache.shard_batch(mesh, b1, list("abcd"))
+    cache.cap_bytes = 0  # now "full"
+    b2 = make_batch(rng, 4)
+    got = cache.shard_batch(mesh, b2, list("wxyz"))
+    want = mesh_mod.shard_batch(mesh, b2)
+    assert_tree_equal(got, want)
+    assert cache.misses == 8
+    # Cached ids still hit even at cap.
+    got1 = cache.shard_batch(mesh, b1, list("abcd"))
+    assert cache.hits == 4
+    want1 = mesh_mod.shard_batch(mesh, b1)
+    assert_tree_equal(got1, want1)
+
+
 def test_make_global_batch_cap_streams(rng):
     mesh = mesh_mod.make_mesh(n_data=4, n_tile=1)
     batch = make_batch(rng, 4)
