@@ -21,9 +21,14 @@ LPIPS gt branch and all three resamples every step; nlt/losses.py:
 143-169, nlt/models/nlt.py:104-137) — a TPU-side optimization enabled
 by keeping the whole loss inside the jitted step.
 
-Memory: ~17 MB per example at 512^2 float32 with barron+lpips (logged
-at allocation). Scope: single-process, data-parallel-only (the driver
-disables it under multi-host or texel-tile sharding).
+Memory: ~24 MB per example at 512^2 float32 with barron+lpips (logged
+at allocation), preallocated as one (n_slots, ...) table so inserts
+are in-place donated scatters. `cap_mb` bounds the table: slots are
+assigned first-come, and examples beyond capacity simply stay
+uncached — the driver extracts their statics fresh each time and
+feeds them directly (trainvali), so a dragon-scale dataset degrades
+to partial caching instead of allocating past HBM. Multi-host: each
+host caches its own example slice (per-host instance).
 """
 
 import jax
@@ -36,11 +41,14 @@ logger = logutil.Logger(loggee="parallel/feat_cache")
 
 
 class GTFeatureCache:
-    def __init__(self, example_ids):
+    def __init__(self, example_ids, cap_mb=None):
         self.index = {id_: i for i, id_ in enumerate(sorted(example_ids))}
         self.n = len(self.index)
-        self.taps = None  # pytree with leading (n_examples,) dim
-        self.have = np.zeros(self.n, bool)
+        self.cap_bytes = None if cap_mb is None else int(cap_mb) << 20
+        self.n_slots = None  # decided at first insert (needs shapes)
+        self.slot = {}       # id -> table row
+        self.taps = None     # pytree with leading (n_slots,) dim
+        self.have = None
         self._gather = jax.jit(
             lambda taps, idx: jax.tree_util.tree_map(
                 lambda t: jnp.take(t, idx, axis=0), taps))
@@ -49,29 +57,64 @@ class GTFeatureCache:
             lambda taps, idx, feats: jax.tree_util.tree_map(
                 lambda t, f: t.at[idx].set(f), taps, feats),
             donate_argnums=0)
+        self._subset = jax.jit(
+            lambda feats, rows: jax.tree_util.tree_map(
+                lambda f: jnp.take(f, rows, axis=0), feats))
 
     def _indices(self, ids):
         return jnp.asarray(
-            np.array([self.index[i] for i in ids], np.int32))
+            np.array([self.slot[i] for i in ids], np.int32))
 
     def has_all(self, ids):
         return (self.taps is not None
-                and all(self.have[self.index[i]] for i in ids))
+                and all(i in self.slot and self.have[self.slot[i]]
+                        for i in ids))
 
-    def insert(self, ids, feats):
-        """feats: pytree of per-batch arrays (leading dim len(ids))."""
-        if self.taps is None:
-            self.taps = jax.tree_util.tree_map(
-                lambda f: jnp.zeros((self.n,) + f.shape[1:], f.dtype),
-                feats)
-            total = sum(t.nbytes for t in jax.tree_util.tree_leaves(
-                self.taps))
+    def _alloc(self, ids, feats):
+        leaves = jax.tree_util.tree_leaves(feats)
+        per_ex = sum(f.nbytes for f in leaves) // max(len(ids), 1)
+        self.n_slots = self.n
+        if self.cap_bytes is not None and per_ex > 0:
+            self.n_slots = min(self.n, self.cap_bytes // per_ex)
+        self.taps = jax.tree_util.tree_map(
+            lambda f: jnp.zeros(
+                (self.n_slots,) + f.shape[1:], f.dtype), feats)
+        self.have = np.zeros(self.n_slots, bool)
+        total = sum(
+            t.nbytes for t in jax.tree_util.tree_leaves(self.taps))
+        if self.n_slots < self.n:
+            logger.warn(
+                "GT feature cache capped: %d of %d examples fit in "
+                "%.0f MB (cache_static_mb; the rest re-extract each "
+                "step)", self.n_slots, self.n, total / 1e6)
+        else:
             logger.info(
                 "GT feature cache: %d examples, %.0f MB HBM",
                 self.n, total / 1e6)
-        self.taps = self._scatter(self.taps, self._indices(ids), feats)
+
+    def insert(self, ids, feats):
+        """feats: pytree of per-batch arrays (leading dim len(ids)).
+        Returns True iff every id now occupies a cache slot (rows
+        beyond capacity are skipped)."""
+        if self.taps is None:
+            self._alloc(ids, feats)
         for i in ids:
-            self.have[self.index[i]] = True
+            if i not in self.index:
+                raise KeyError(i)  # unknown example id, as before
+            if i not in self.slot and len(self.slot) < self.n_slots:
+                self.slot[i] = len(self.slot)
+        rows = [r for r, i in enumerate(ids) if i in self.slot]
+        if not rows:
+            return False
+        slotted = [ids[r] for r in rows]
+        if len(rows) < len(ids):
+            feats = self._subset(
+                feats, jnp.asarray(np.array(rows, np.int32)))
+        self.taps = self._scatter(
+            self.taps, self._indices(slotted), feats)
+        for i in slotted:
+            self.have[self.slot[i]] = True
+        return len(rows) == len(ids)
 
     def gather(self, ids):
         return self._gather(self.taps, self._indices(ids))

@@ -301,7 +301,8 @@ def main(argv=None):
         else:
             from .parallel import feat_cache as feat_cache_mod
             feat_cache = feat_cache_mod.GTFeatureCache(
-                dataset_train.files)
+                dataset_train.files,
+                cap_mb=config.get_int("cache_static_mb", 6144))
             train_step_cached = train_mod.make_train_step(
                 model, tx, mesh=mesh, tile_spatial=tile_spatial,
                 cached_statics=True, grad_accum=grad_accum,
@@ -449,19 +450,26 @@ def main(argv=None):
                 if is_multiprocess:
                     # Per-host cache over this host's example slice;
                     # global statics assembled like the batch itself.
-                    if not feat_cache.has_all(batch["id"]):
-                        feat_cache.insert(
-                            batch["id"],
-                            extract_statics(
-                                extract_params_local, local_arrays))
+                    if feat_cache.has_all(batch["id"]):
+                        local_statics = feat_cache.gather(batch["id"])
+                    else:
+                        local_statics = extract_statics(
+                            extract_params_local, local_arrays)
+                        if feat_cache.insert(batch["id"], local_statics):
+                            local_statics = feat_cache.gather(
+                                batch["id"])
+                        # else: capacity-capped rows feed the freshly
+                        # extracted statics directly.
                     statics = mesh_mod.make_global_tree(
-                        mesh, feat_cache.gather(batch["id"]))
+                        mesh, local_statics)
                 else:
-                    if not feat_cache.has_all(batch["id"]):
-                        feat_cache.insert(
-                            batch["id"],
-                            extract_statics(state["params"], arrays))
-                    statics = feat_cache.gather(batch["id"])
+                    if feat_cache.has_all(batch["id"]):
+                        statics = feat_cache.gather(batch["id"])
+                    else:
+                        statics = extract_statics(
+                            state["params"], arrays)
+                        if feat_cache.insert(batch["id"], statics):
+                            statics = feat_cache.gather(batch["id"])
                 state, loss, to_vis = train_step_cached(
                     state, arrays, statics)
             else:

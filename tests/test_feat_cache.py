@@ -131,3 +131,48 @@ def test_missing_id_raises(setup):
     cache = feat_cache_mod.GTFeatureCache(["only_id"])
     with pytest.raises(KeyError):
         cache.gather(["unknown"])
+
+
+def test_capacity_cap_partial_caching(setup):
+    """cache_static_mb caps the preallocated table: slots fill
+    first-come, capacity-exceeding examples stay uncached (insert
+    returns False, has_all False), and cached slots still gather the
+    exact inserted values — the driver then feeds fresh extractions
+    for the uncached rows (trainvali)."""
+    model, _, batch = setup
+    params = model.init_params(jax.random.PRNGKey(0))
+    extract = train_mod.make_static_extractor(model)
+    statics = extract(params, batch)
+    per_ex = sum(
+        f.nbytes for f in jax.tree_util.tree_leaves(statics)) // 2
+
+    ids = ["e%d" % i for i in range(4)]
+    # Cap fits exactly 2 examples of the 4 (byte-precise for the test;
+    # the config knob is MB-granular).
+    cache = feat_cache_mod.GTFeatureCache(ids, cap_mb=0)
+    cache.cap_bytes = 2 * per_ex
+    assert cache.insert(["e0", "e1"], statics)
+    assert cache.has_all(["e0", "e1"])
+    assert cache.n_slots < len(ids)
+    # Beyond capacity: partial insert, has_all stays False.
+    assert not cache.insert(["e2", "e3"], statics)
+    assert not cache.has_all(["e2"])
+    got = cache.gather(["e1", "e0"])
+    want = statics
+    a = jax.tree_util.tree_leaves(got)
+    b = jax.tree_util.tree_leaves(want)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(
+            np.asarray(x[0]), np.asarray(y[1]))
+        np.testing.assert_array_equal(
+            np.asarray(x[1]), np.asarray(y[0]))
+
+
+def test_capacity_zero_streams(setup):
+    model, _, batch = setup
+    params = model.init_params(jax.random.PRNGKey(0))
+    extract = train_mod.make_static_extractor(model)
+    statics = extract(params, batch)
+    cache = feat_cache_mod.GTFeatureCache(["a", "b"], cap_mb=0)
+    assert not cache.insert(["a", "b"], statics)
+    assert not cache.has_all(["a"])

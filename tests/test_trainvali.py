@@ -229,6 +229,29 @@ def test_serve(trained):
         np.clip(out["pred_camspc"], 0, 1), atol=1 / 255.0 + 1e-6)
 
 
+def test_trainvali_capped_static_cache_losses_equal(tmp_path, scene_root):
+    """A capacity-capped GT-feature cache (some examples cached, some
+    re-extracted each step) must train to the same losses as the
+    unlimited cache — the capped rows feed fresh extractions directly."""
+    from nlt_tpu import trainvali
+    losses = {}
+    for tag, cap in (("full", 6144), ("capped", 0)):
+        d = tmp_path / tag
+        d.mkdir()
+        ini = write_ini(
+            d, scene_root, epochs=2,
+            loss="barron,1e+0lpips", lpips_max_res=32,
+            cache_static=True, cache_static_mb=cap,
+            outroot=str(tmp_path / ("out_" + tag)),
+            xname="cap_" + tag)
+        outdir = trainvali.main(["--config", ini])
+        scalars = join(outdir, "summary_train", "scalars.jsonl")
+        losses[tag] = [
+            json.loads(line)["value"] for line in open(scalars)
+            if json.loads(line)["tag"] == "loss_train"]
+    assert losses["capped"] == pytest.approx(losses["full"], rel=1e-6)
+
+
 def test_trainvali_barron_lpips(tmp_path, scene_root):
     """One epoch end to end with the flagship loss spec."""
     from nlt_tpu import trainvali
