@@ -92,6 +92,8 @@ class DeviceExampleCache:
                 ent = store.pop(eid, None)
                 if ent is not None:
                     self._bytes -= self._entry_bytes(ent)
+                    # Freed room: the next fill-to-cap should log again.
+                    self._full_logged = False
 
     @staticmethod
     def _entry_bytes(ent):
@@ -150,7 +152,11 @@ class DeviceExampleCache:
             return mesh_mod.shard_batch(mesh, arrays, tile_spatial)
         rows = []
         for i, eid in enumerate(ids):
-            ent = cached[eid]
+            # Fresh lookup (not the `cached` snapshot): a batch may
+            # repeat an id (Server.predict with duplicate ids) and the
+            # first occurrence's insert must be visible to the second,
+            # or the row is uploaded twice and _bytes over-counts.
+            ent = self._rows.get(eid)
             if ent is not None and ent[0] == sig:
                 self.hits += 1
                 rows.append(ent[1])
@@ -304,7 +310,8 @@ class DeviceExampleCache:
         rows_of, fields = self._mh_layout(mesh, arrays, n, tile_spatial)
         batch_parts = []
         for i, eid in enumerate(ids):
-            ent = cached[eid]
+            # Fresh lookup: same duplicate-id accounting as shard_batch.
+            ent = self._mh_rows.get(eid)
             if ent is not None and ent[0] == sig:
                 self.hits += 1
                 batch_parts.append(ent[1])

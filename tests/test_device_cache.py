@@ -282,3 +282,43 @@ def test_stats_accessor():
     cache = dc_mod.DeviceExampleCache(cap_mb=64)
     st = cache.stats()
     assert st == {"hits": 0, "misses": 0, "examples": 0, "mb": 0.0}
+
+
+def test_duplicate_ids_upload_once(rng):
+    """A batch repeating an id (Server.predict with duplicate ids)
+    uploads the row once: the first occurrence's insert is visible to
+    the second, values match the plain path, and the byte accounting
+    equals the unique-id footprint (ADVICE r2)."""
+    mesh = mesh_mod.make_mesh(n_data=2, n_tile=1)
+    batch = make_batch(rng, 4)
+    # Make duplicate ids carry identical content (the cache contract).
+    for v in batch.values():
+        v[2] = v[0]
+    ids = ["a", "b", "a", "c"]
+    cache = dc_mod.DeviceExampleCache(cap_mb=64)
+    got = cache.shard_batch(mesh, batch, ids)
+    want = mesh_mod.shard_batch(mesh, batch)
+    assert_tree_equal(got, want)
+    assert cache.hits == 1 and cache.misses == 3
+    bytes_dup = cache.stats()["mb"]
+
+    ref = dc_mod.DeviceExampleCache(cap_mb=64)
+    uniq = {k: v[:3] for k, v in batch.items()}
+    ref.shard_batch(mesh, uniq, ["a", "b", "c"])
+    assert bytes_dup == ref.stats()["mb"]
+
+
+def test_invalidate_ids_resets_full_notice(rng):
+    """Targeted invalidation frees room, so the 'cache full' notice
+    must be able to fire again on the next fill-to-cap (ADVICE r2)."""
+    mesh = mesh_mod.make_mesh(n_data=2, n_tile=1)
+    batch = make_batch(rng, 2)
+    cache = dc_mod.DeviceExampleCache(cap_mb=64)
+    cache.shard_batch(mesh, batch, ["a", "b"])
+    cache.cap_bytes = cache._bytes  # exactly full
+    # Mixed batch (one hit, one new row that doesn't fit) fires the
+    # full notice (a fully-uncached batch takes the plain path instead).
+    cache.shard_batch(mesh, make_batch(rng, 2), ["a", "d"])
+    assert cache._full_logged
+    cache.invalidate(["a"])
+    assert not cache._full_logged
