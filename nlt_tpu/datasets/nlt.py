@@ -80,6 +80,18 @@ class Dataset(BaseDataset):
         self.device_normalize = config.get_bool("device_normalize", False)
         self.n_obs = config.get_int("n_obs", 1)
         assert self.n_obs >= 1, "n_obs must be >= 1"
+        # obs_weighting = inverse_distance makes multi-observation
+        # batches carry an 'nn_dist' field — the Euclidean (cam, light)
+        # distance from this config to each observed neighbor, computed
+        # from the per-config cam.json/light.json positions — which the
+        # model turns into a 1/d weighted feature mean (the obs-list
+        # aggregation knob the reference's dataset never fed;
+        # reference: nlt/models/nlt.py:161-164).
+        self.obs_weighting = (
+            config.get("obs_weighting", "none") or "none").lower()
+        assert self.obs_weighting in ("none", "inverse_distance"), (
+            "Unknown obs_weighting %r" % self.obs_weighting)
+        self._pos_cache = {}  # id -> (cam_pos, light_pos)
         # (scene, cam, light) -> trainvali ID: exact-match O(1) neighbor
         # lookup (a regex scan over all IDs per neighbor was O(N^2) over
         # the cold epoch and mis-matched names that prefix other names).
@@ -155,6 +167,36 @@ class Dataset(BaseDataset):
         same scene when multi-scene (reference: nlt/datasets/nlt.py:88-100
         does this with a regex scan; here an exact O(1) index lookup)."""
         return self._nn_index.get((scene_prefix, nn["cam"], nn["light"]))
+
+    def _config_pos(self, id_):
+        """Memoized (cam_position, light_position) of one config, from
+        its cam.json/light.json (tiny; read once per id per run)."""
+        pos = self._pos_cache.get(id_)
+        if pos is None:
+            paths = self.data_paths[id_]
+            cam = ioutil.read_json(paths["cam"])
+            light = ioutil.read_json(paths["light"])
+            pos = (np.asarray(cam["position"], np.float64),
+                   np.asarray(light["position"], np.float64))
+            self._pos_cache[id_] = pos
+        return pos
+
+    def _nn_dists(self, id_, nn_ids):
+        """Per-observation distances in joint (cam, light) space:
+        sqrt(|cam - nn_cam|^2 + |light - nn_light|^2). Unresolvable
+        neighbors (zero placeholders) get distance 1.0 — with every
+        entry equal, the weighted mean degrades to the unweighted one."""
+        own_cam, own_light = self._config_pos(id_)
+        dists = []
+        for nid in nn_ids:
+            if nid is None:
+                dists.append(1.0)
+                continue
+            nn_cam, nn_light = self._config_pos(nid)
+            d2 = (np.sum((own_cam - nn_cam) ** 2)
+                  + np.sum((own_light - nn_light) ** 2))
+            dists.append(float(np.sqrt(d2)))
+        return np.asarray(dists, np.float32)
 
     def _load_png(self, path, new_h, new_w=None, n_ch=None):
         """Decode + normalize + resize in one native call (C++ libpng via
@@ -258,7 +300,7 @@ class Dataset(BaseDataset):
             img = lambda x: np.ascontiguousarray(x, np.float32)  # noqa
             warp_out = np.ascontiguousarray(warp, np.float32)
 
-        return {
+        out = {
             "id": id_,
             "base": img(base),
             "cvis": img(cvis)[:, :, None],
@@ -271,3 +313,6 @@ class Dataset(BaseDataset):
             "nn_rgb": img(nn_rgb),
             "nn_rgb_camspc": img(nn_rgb_camspc),
         }
+        if self.obs_weighting != "none" and self.n_obs > 1:
+            out["nn_dist"] = self._nn_dists(id_, nn_ids)
+        return out

@@ -102,6 +102,15 @@ class Model(BaseModel):
         self.uvh = config.get_int("uvh")
         self.uvw = config.get_int("uvw")
         self.use_obs = config.get_bool("use_obs")
+        # obs_weighting = inverse_distance: multi-observation feature
+        # aggregation weights each observation by 1/distance (batch
+        # field nn_dist from datasets/nlt.py) instead of the flat mean
+        # — the weighted branch of the reference's obs list its dataset
+        # never fed (reference: nlt/models/nlt.py:161-164).
+        self.obs_weighting = (
+            config.get("obs_weighting", "none") or "none").lower()
+        assert self.obs_weighting in ("none", "inverse_distance"), (
+            "Unknown obs_weighting %r" % self.obs_weighting)
         self.skip_connect_base = config.get_bool("skip_connect_base")
         self.resample_impl = config.get("resample_impl", "xla")
         # bfloat16 runs the U-Net in half precision (params stay f32;
@@ -200,6 +209,11 @@ class Model(BaseModel):
         x = jnp.concatenate((base, cvis, lvis), axis=3)
         nn_rgb, nn_base = batch["nn_rgb"], batch["nn_base"]
         nn_camspc = batch["nn_rgb_camspc"]
+        obs_weights = None
+        if (self.obs_weighting == "inverse_distance"
+                and nn_rgb.ndim == 5 and "nn_dist" in batch):
+            # 1/d weights; epsilon guards a (theoretical) zero distance.
+            obs_weights = 1.0 / (batch["nn_dist"] + jnp.float32(1e-6))
         if nn_rgb.ndim == 5:
             # Multi-observation batch (N, K, H, W, C) — one obs-path
             # input per observation; per-stage features mean-aggregate
@@ -216,7 +230,8 @@ class Model(BaseModel):
             x = x.astype(self.compute_dtype)
             y_obs = [t.astype(self.compute_dtype) for t in y_obs]
         pred = self._apply_unet(
-            params["net"], x, y_obs, obs_override=obs_override)
+            params["net"], x, y_obs, obs_weights=obs_weights,
+            obs_override=obs_override)
         pred = pred.astype(jnp.float32)
         if self.skip_connect_base:
             pred = pred + base

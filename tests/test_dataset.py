@@ -190,6 +190,60 @@ def test_obs_weights_normalized_mean(scene_root):
         np.asarray(out_w), np.asarray(out_plain), rtol=1e-5, atol=1e-5)
 
 
+def test_obs_weighting_inverse_distance(scene_root):
+    """obs_weighting = inverse_distance: the dataset emits per-
+    observation (cam, light) distances from the config JSON positions,
+    and the model aggregates the obs features by 1/d weights — equal
+    distances reproduce the flat mean, unequal ones tilt the output
+    toward the nearer observation (VERDICT r2 #6: wire obs_weights)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nlt_tpu.models import get_model_class
+
+    cfg = scene_config(scene_root, n_obs=2,
+                       obs_weighting="inverse_distance")
+    ds = get_dataset_class("nlt")(cfg, "train")
+    item = ds._load_item(sorted(ds.files)[0])
+    assert item["nn_dist"].shape == (2,)
+    assert item["nn_dist"].dtype == np.float32
+    assert np.all(item["nn_dist"] > 0)
+    # The list is nearest-first, so distances are non-decreasing.
+    assert item["nn_dist"][0] <= item["nn_dist"][1]
+
+    batch = next(iter(ds.iterate(seed=0)))
+    assert batch["nn_dist"].shape == (2, 2)
+    batch_arr = {k: jnp.asarray(v) for k, v in batch.items()
+                 if not isinstance(v, list)}
+    model = get_model_class("nlt")(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    pred_w, *_ = model.apply(params, batch_arr, "train")
+    assert np.all(np.isfinite(np.asarray(pred_w)))
+
+    # Equal distances == the unweighted mean path.
+    eq = dict(batch_arr, nn_dist=jnp.full((2, 2), 3.0))
+    pred_eq, *_ = model.apply(params, eq, "train")
+    plain = get_model_class("nlt")(scene_config(scene_root, n_obs=2))
+    pred_plain, *_ = plain.apply(
+        params, {k: v for k, v in batch_arr.items() if k != "nn_dist"},
+        "train")
+    np.testing.assert_allclose(
+        np.asarray(pred_eq), np.asarray(pred_plain),
+        rtol=1e-5, atol=1e-5)
+
+    # Unequal distances change the prediction (the weights are live)
+    # unless the two observations happen to be identical.
+    uneq = dict(batch_arr, nn_dist=jnp.asarray(
+        [[0.1, 10.0], [0.1, 10.0]], jnp.float32))
+    pred_uneq, *_ = model.apply(params, uneq, "train")
+    obs_differ = not np.allclose(
+        np.asarray(batch_arr["nn_rgb"][:, 0]),
+        np.asarray(batch_arr["nn_rgb"][:, 1]))
+    if obs_differ:
+        assert not np.allclose(
+            np.asarray(pred_uneq), np.asarray(pred_eq))
+
+
 def test_warp_range_and_background(scene_root):
     ds = get_dataset_class("nlt")(scene_config(scene_root), "train")
     item = ds._load_item(sorted(ds.files)[0])
