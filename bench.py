@@ -9,12 +9,32 @@ prints ONE JSON line:
     {"metric": "texels_per_sec_per_chip", "value": ..., "unit": ...,
      "vs_baseline": ...}
 
+Headline: compute_dtype=bfloat16 (the shipped-config default since
+round 3; quality-equal at 512^2, RESULTS.md); the float32 cached step
+is reported alongside (reference-parity numerics stay one knob away).
+
 vs_baseline: the reference publishes no benchmark numbers (its only
 speed metric is mean per-batch wall time, never reported;
 BASELINE.md). The baseline constant below is therefore an ESTIMATE of
 the TF2.2-eager reference on its era hardware (single 2080Ti/V100-class
 GPU, bs 4 @ 512^2): ~0.7 s/step => ~1.5e6 texels/s. The ratio is
 directional, not a measured comparison.
+
+Roofline fields (VERDICT r2 #3 — numbers behind "the floor"):
+- flops_per_step: XLA HLO cost analysis of the jitted cached step
+  (forward+backward+update, resample gathers count 0 FLOPs);
+- mfu_pct: flops_per_step / step_time / v5e bf16 peak (394 TFLOP/s,
+  public spec; f32 compute runs inherently below this MXU peak);
+- take_*: the flagship-shape flat row take (the resampler forward's
+  hot op) slope-timed STANDALONE: ns/row (vs the ~6.5 ns/row measured
+  floor, ops/resample.py) and useful-bytes GB/s vs the 819 GB/s v5e
+  HBM peak. Useful bytes/row = 48 read (4C f32 window row) + 4 idx +
+  48 write; random row access pays transaction granularity, so the
+  HBM percentage is the honest utilization of *useful* traffic;
+- resample_bwd_*: the planned resample's backward (Pallas VMEM-table
+  scatter + window-shift adjoints), measured as grad-minus-forward of
+  the standalone planned resample. Useful bytes/row = 12 grad read +
+  routing reads (16) + 48 read-modify-write of the table accumulator.
 """
 
 import json
@@ -28,6 +48,81 @@ BS = 4
 RES = 512
 DEPTH = 256
 
+# TPU v5e public per-chip peaks.
+V5E_PEAK_BF16_FLOPS = 394e12
+V5E_HBM_BYTES_PER_S = 819e9
+
+# Useful bytes per resample row (see module docstring).
+TAKE_BYTES_PER_ROW = 48 + 4 + 48
+SCATTER_BYTES_PER_ROW = 12 + 16 + 2 * 48
+
+
+def _flops_of(jitted, *args):
+    """XLA HLO cost-analysis FLOPs of one call, or None."""
+    try:
+        cost = jitted.lower(*args).cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        f = float(cost.get("flops", 0.0))
+        return f if f > 0 else None
+    except Exception:
+        return None
+
+
+def _bench_resample(batch, slope_time):
+    """Standalone flagship-shape planned-resample forward and backward
+    (grad minus forward), slope-timed with chained value dependence."""
+    import jax
+    import jax.numpy as jnp
+
+    from nlt_tpu.ops import resample as resample_mod
+
+    warp = jnp.asarray(batch["warp"]) * jnp.float32(RES)
+    img = jnp.asarray(batch["base"])
+    plan = resample_mod.make_plan(warp, RES, RES)
+    rows = BS * RES * RES
+
+    @jax.jit
+    def fwd(im, s):
+        out = resample_mod.resample_planned(im + 0.0 * s, plan)
+        return jnp.sum(out[:, :1, :1])
+
+    @jax.jit
+    def fwdbwd(im, s):
+        g = jax.grad(
+            lambda t: jnp.sum(resample_mod.resample_planned(t, plan))
+        )(im + 0.0 * s)
+        return jnp.sum(g[:, :1, :1])
+
+    def run_n_of(fn):
+        def run_n(n):
+            s = jnp.float32(0.0)
+            for _ in range(n):
+                s = fn(img, s)
+            float(s)
+        return run_n
+
+    float(fwd(img, jnp.float32(0.0)))       # compile
+    float(fwdbwd(img, jnp.float32(0.0)))
+    t_fwd = slope_time(run_n_of(fwd), n1=5, n2=20, reps=3)
+    t_fb = slope_time(run_n_of(fwdbwd), n1=5, n2=20, reps=3)
+    t_bwd = max(t_fb - t_fwd, 0.0)
+    out = {
+        "take_ns_per_row": round(t_fwd / rows * 1e9, 3),
+        "take_gbps_useful": round(
+            rows * TAKE_BYTES_PER_ROW / t_fwd / 1e9, 1),
+        "resample_bwd_ms": round(t_bwd * 1e3, 3),
+    }
+    out["take_pct_hbm"] = round(
+        100 * rows * TAKE_BYTES_PER_ROW / t_fwd / V5E_HBM_BYTES_PER_S, 1)
+    if t_bwd > 0:
+        out["scatter_gbps_useful"] = round(
+            rows * SCATTER_BYTES_PER_ROW / t_bwd / 1e9, 1)
+        out["scatter_pct_hbm"] = round(
+            100 * rows * SCATTER_BYTES_PER_ROW / t_bwd
+            / V5E_HBM_BYTES_PER_S, 1)
+    return out
+
 
 def main():
     import jax
@@ -40,14 +135,6 @@ def main():
     # observed to wedge; a warmed cache keeps the bench runnable.
     _enable_compile_cache()
 
-    model = _make_model(RES, RES, DEPTH, BS)
-    tx = train_mod.make_optimizer(1e-3)
-    state = train_mod.init_state(model, tx, jax.random.PRNGKey(0))
-    train_step = train_mod.make_train_step(model, tx)
-
-    batch = _make_batch(BS, RES, RES)
-    batch = {k: jax.device_put(np.asarray(v)) for k, v in batch.items()}
-
     # Timing method: on the axon backend jax.block_until_ready returns
     # without waiting for remote execution, and a host fetch pays a
     # ~25-30 ms tunnel round trip; the honest per-step time is the
@@ -55,6 +142,9 @@ def main():
     # fetching the loss value (nlt_tpu/utils/timing.slope_time — the
     # one implementation every bench shares).
     from nlt_tpu.utils.timing import slope_time
+
+    batch = _make_batch(BS, RES, RES)
+    batch = {k: jax.device_put(np.asarray(v)) for k, v in batch.items()}
 
     def measure(fn, state, extra=(), n1=10, n2=30, reps=3):
         state, loss, vis = fn(state, batch, *extra)  # compile
@@ -71,31 +161,50 @@ def main():
         dt = slope_time(run_n, n1=n1, n2=n2, reps=reps)
         return dt, box["state"]
 
-    dt_uncached, state = measure(train_step, state)
+    tx = train_mod.make_optimizer(1e-3)
 
-    # Steady-state step (epochs >= 1 with cache_static, the flagship
-    # configs' default): the static ground truth's LPIPS features and
-    # the params-independent warp products (gt/base camspc) come from
-    # the HBM cache instead of being recomputed — identical
-    # loss/gradients (parallel/feat_cache.py).
-    step_cached = train_mod.make_train_step(
-        model, tx, with_vis=True, cached_statics=True)
-    extract = train_mod.make_static_extractor(model)
-    statics = extract(state["params"], batch)
-    dt_cached, state = measure(step_cached, state, extra=(statics,))
-    dt = min(dt_cached, dt_uncached)
+    def measure_dtype(dtype):
+        """Uncached + cached (steady-state, the flagship configs'
+        default: statics' LPIPS features and warp products from HBM —
+        identical loss/gradients, parallel/feat_cache.py) step times."""
+        model = _make_model(RES, RES, DEPTH, BS, compute_dtype=dtype)
+        state = train_mod.init_state(model, tx, jax.random.PRNGKey(0))
+        train_step = train_mod.make_train_step(model, tx)
+        step_cached = train_mod.make_train_step(
+            model, tx, with_vis=True, cached_statics=True)
+        extract = train_mod.make_static_extractor(model)
+        statics = extract(state["params"], batch)
+        flops = _flops_of(step_cached, state, batch, statics)
+        dt_unc, state = measure(train_step, state)
+        dt_cached, state = measure(step_cached, state, extra=(statics,))
+        return dt_unc, dt_cached, flops, model
 
+    # Headline: bf16 compute (the shipped default); f32 for parity.
+    dt_unc16, dt_c16, flops16, _model = measure_dtype("bfloat16")
+    _, dt_c32, _, _ = measure_dtype("float32")
+
+    dt = min(dt_c16, dt_unc16)
     texels_per_sec = BS * RES * RES / dt
-    print(json.dumps({
+    rec = {
         "metric": "texels_per_sec_per_chip",
         "value": round(texels_per_sec, 1),
         "unit": "texels/s (fwd+bwd+update, 512 UV, bs 4, depth 256, "
-                "steady state)",
+                "bf16 compute, steady state)",
         "vs_baseline": round(texels_per_sec / BASELINE_TEXELS_PER_SEC, 3),
         "step_time_s": round(dt, 5),
-        "step_time_uncached_gt_s": round(dt_uncached, 5),
+        "step_time_uncached_gt_s": round(dt_unc16, 5),
+        "step_time_f32_s": round(dt_c32, 5),
         "device": str(jax.devices()[0]),
-    }))
+    }
+    if flops16:
+        rec["flops_per_step"] = round(flops16)
+        rec["mfu_pct"] = round(
+            100 * flops16 / dt / V5E_PEAK_BF16_FLOPS, 2)
+    try:
+        rec.update(_bench_resample(batch, slope_time))
+    except Exception as e:  # roofline probes must not kill the bench
+        rec["roofline_error"] = repr(e)[:200]
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":
