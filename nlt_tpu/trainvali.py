@@ -594,27 +594,28 @@ def main(argv=None):
                     pd01 = imgutil.vis_to_float01(to_vis["pred_camspc"])
                     for i in range(pd01.shape[0]):
                         v_psnr.append(model.psnr(gt01[i], pd01[i]))
-            if not is_host0:
-                continue  # computation done; nothing to write here
-            writer_vali.scalar("loss_vali", float(np.mean(v_loss)), step)
-            if v_psnr:
-                finite = [p for p in v_psnr if np.isfinite(p)]
-                if finite:
-                    writer_vali.scalar(
-                        "psnr_vali", float(np.mean(finite)), step)
-            vis_dirs = []
-            for batch_i, to_vis in enumerate(v_vis):
-                vis_dir = join(
-                    vali_vis_epoch_dir.format(e=step),
-                    "batch%09d" % batch_i)
-                model.vis_batch(to_vis, vis_dir, mode="vali")
-                vis_dirs.append(vis_dir)
-            comp_f = join(vali_vis_epoch_dir.format(e=step), "all")
-            view_at = model.compile_batch_vis(vis_dirs, comp_f, mode="vali")
-            if view_at is not None:
-                writer_vali.text("vis_vali", view_at, step)
-            maintain_epoch_queue(
-                vali_deque, vali_vis_epoch_dir.format(e=step))
+            if is_host0:  # computation done everywhere; host 0 writes
+                writer_vali.scalar(
+                    "loss_vali", float(np.mean(v_loss)), step)
+                if v_psnr:
+                    finite = [p for p in v_psnr if np.isfinite(p)]
+                    if finite:
+                        writer_vali.scalar(
+                            "psnr_vali", float(np.mean(finite)), step)
+                vis_dirs = []
+                for batch_i, to_vis in enumerate(v_vis):
+                    vis_dir = join(
+                        vali_vis_epoch_dir.format(e=step),
+                        "batch%09d" % batch_i)
+                    model.vis_batch(to_vis, vis_dir, mode="vali")
+                    vis_dirs.append(vis_dir)
+                comp_f = join(vali_vis_epoch_dir.format(e=step), "all")
+                view_at = model.compile_batch_vis(
+                    vis_dirs, comp_f, mode="vali")
+                if view_at is not None:
+                    writer_vali.text("vis_vali", view_at, step)
+                maintain_epoch_queue(
+                    vali_deque, vali_vis_epoch_dir.format(e=step))
 
         if device_cache is not None and step == epoch_restored + 1:
             st = device_cache.stats()

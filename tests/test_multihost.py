@@ -1,13 +1,18 @@
 """True multi-process distributed training on the CPU backend.
 
-Runs the REAL trainvali driver as two coordinated processes
-(jax.distributed + gloo CPU collectives, 1 virtual device each):
-per-host data loading (disjoint example shards of each global batch),
-global-array assembly via make_global_batch, compiler-inserted gradient
-all-reduce, Orbax multi-host checkpointing, and host-0-only vis — the
-complete pod-slice code path (SURVEY.md §2.5's TPU-native equivalent of
+Runs the REAL trainvali driver as coordinated processes
+(jax.distributed + gloo CPU collectives), each process owning TWO
+virtual devices — the pod-slice geometry where a host's data-row
+devices exchange examples on the per-epoch reshuffle (the device-cache
+bug class of round 2 lived exactly there; VERDICT r2 #1 demands no
+1-device-per-process cell remains). Covers: per-host data loading
+(disjoint example shards of each global batch), global-array assembly
+via make_global_batch, the device-resident example cache's multi-host
+path (cache_device defaults on), compiler-inserted gradient all-reduce,
+Orbax multi-host checkpointing, and host-0-only vis — the complete
+pod-slice code path (SURVEY.md §2.5's TPU-native equivalent of
 MirroredStrategy, which the reference never tested multi-node;
-nlt/README.md:66-69) validated end to end without TPU hardware.
+nlt/README.md:66-73) validated end to end without TPU hardware.
 """
 
 import json
@@ -24,6 +29,11 @@ import pytest
 from nlt_tpu.utils.config import Config
 
 REPO = dirname(dirname(os.path.abspath(__file__)))
+
+# Virtual devices per process: >1 so every cell runs the geometry where
+# one host owns several data rows (or several tile columns) and the
+# per-epoch shuffle moves examples across them.
+LOCAL_DEVICES = 2
 
 
 @pytest.fixture(scope="module")
@@ -45,143 +55,13 @@ def _free_port():
     return port
 
 
-def test_two_process_training(tmp_path, scene_root):
-    outroot = str(tmp_path / "out")
-    cfg = Config({
-        "dataset": "nlt", "model": "nlt", "loss": "l1",
-        "no_batch": False,
-        "imh": 32, "imw": 32, "uvh": 32, "uvw": 32,
-        "use_obs": True, "skip_connect_base": True,
-        "linear_space": False,
-        "depth0": 16, "depth": 16, "kernel": 2, "stride": 2,
-        "norm": "None", "act": "leakyrelu", "pool": "None",
-        "bs": 2, "cache": True,
-        "data_root": scene_root,
-        "holdout_cam": "C02", "holdout_light": "L002",
-        "lr": "1e-3", "mgm": -1, "epochs": 2,
-        "ckpt_period": 1, "vali_period": 1, "vis_train_batches": 1,
-        "vali_batches": 1, "keep_recent_epochs": 2,
-        "overwrite": True, "outroot": outroot,
-        "xname": "mh2proc",
-    })
-    ini = str(tmp_path / "mh.ini")
-    cfg.save(ini)
-
-    port = _free_port()
-    env = dict(
-        os.environ,
-        PALLAS_AXON_POOL_IPS="",
-        JAX_PLATFORMS="cpu",
-        XLA_FLAGS="--xla_force_host_platform_device_count=1",
-        JAX_ENABLE_X64="0",
-    )
-    procs = [
-        subprocess.Popen(
-            [sys.executable, "-m", "nlt_tpu.trainvali",
-             "--config", ini, "--device", "cpu",
-             "--coordinator_address", "127.0.0.1:%d" % port,
-             "--num_processes", "2", "--process_id", str(i)],
-            env=env, cwd=REPO,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
-        for i in range(2)
-    ]
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=600)
-        outs.append(out)
-    for i, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, (
-            "process %d failed:\n%s" % (i, out[-4000:]))
-
-    outdir = join(outroot, "mh2proc")
-    # Checkpoints saved by the multi-host Orbax contract.
-    assert glob(join(outdir, "checkpoints", "*"))
-    # Scalars + vali vis written by host 0 only.
-    scalars = join(outdir, "summary_train", "scalars.jsonl")
-    recs = [json.loads(line) for line in open(scalars)]
-    losses = [r["value"] for r in recs if r["tag"] == "loss_train"]
-    assert losses and all(np.isfinite(v) for v in losses)
-    assert glob(join(outdir, "vis_vali", "epoch*", "batch*"))
-    # Train vis is deliberately skipped on multi-host runs
-    # (data-sharded batches are not host-addressable).
-    assert "initialized: process" in outs[0]
-
-
-def test_two_process_matches_single_process(tmp_path, scene_root):
-    """The 2-process run's epoch losses equal a single-process run's:
-    same global batches (seed-synchronized shuffle, per-host slices),
-    same mean gradient (psum over 'data'), same updates."""
-    base = {
-        "dataset": "nlt", "model": "nlt", "loss": "l1",
-        "no_batch": False,
-        "imh": 32, "imw": 32, "uvh": 32, "uvw": 32,
-        "use_obs": True, "skip_connect_base": True,
-        "linear_space": False,
-        "depth0": 16, "depth": 16, "kernel": 2, "stride": 2,
-        "norm": "None", "act": "leakyrelu", "pool": "None",
-        "bs": 2, "cache": True,
-        "data_root": scene_root,
-        "holdout_cam": "C02", "holdout_light": "L002",
-        "lr": "1e-3", "mgm": -1, "epochs": 1,
-        "ckpt_period": 1, "vali_period": -1, "vis_train_batches": 0,
-        "vali_batches": 0, "keep_recent_epochs": 1,
-        "overwrite": True,
-    }
-    env = dict(
-        os.environ,
-        PALLAS_AXON_POOL_IPS="",
-        JAX_PLATFORMS="cpu",
-        XLA_FLAGS="--xla_force_host_platform_device_count=1",
-        JAX_ENABLE_X64="0",
-    )
-
-    def losses_of(outdir):
-        scalars = join(outdir, "summary_train", "scalars.jsonl")
-        return [json.loads(l)["value"] for l in open(scalars)
-                if json.loads(l)["tag"] == "loss_train"]
-
-    # Single process.
-    out1 = str(tmp_path / "out1")
-    cfg = Config(dict(base, outroot=out1, xname="single"))
-    ini1 = str(tmp_path / "single.ini")
-    cfg.save(ini1)
-    subprocess.run(
-        [sys.executable, "-m", "nlt_tpu.trainvali",
-         "--config", ini1, "--device", "cpu"],
-        env=env, cwd=REPO, check=True, capture_output=True, timeout=600)
-
-    # Two processes.
-    out2 = str(tmp_path / "out2")
-    cfg = Config(dict(base, outroot=out2, xname="dual"))
-    ini2 = str(tmp_path / "dual.ini")
-    cfg.save(ini2)
-    port = _free_port()
-    procs = [
-        subprocess.Popen(
-            [sys.executable, "-m", "nlt_tpu.trainvali",
-             "--config", ini2, "--device", "cpu",
-             "--coordinator_address", "127.0.0.1:%d" % port,
-             "--num_processes", "2", "--process_id", str(i)],
-            env=env, cwd=REPO,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
-        for i in range(2)
-    ]
-    for p in procs:
-        out, _ = p.communicate(timeout=600)
-        assert p.returncode == 0, out[-4000:]
-
-    l1 = losses_of(join(out1, "single"))
-    l2 = losses_of(join(out2, "dual"))
-    assert len(l1) == len(l2) == 1
-    np.testing.assert_allclose(l1, l2, rtol=1e-5)
-
-
-def _mp_env():
+def _mp_env(local_devices=LOCAL_DEVICES):
     return dict(
         os.environ,
         PALLAS_AXON_POOL_IPS="",
         JAX_PLATFORMS="cpu",
-        XLA_FLAGS="--xla_force_host_platform_device_count=1",
+        XLA_FLAGS=("--xla_force_host_platform_device_count=%d"
+                   % local_devices),
         JAX_ENABLE_X64="0",
     )
 
@@ -195,19 +75,19 @@ def _base_cfg(scene_root, **overrides):
         "linear_space": False,
         "depth0": 16, "depth": 16, "kernel": 2, "stride": 2,
         "norm": "None", "act": "leakyrelu", "pool": "None",
-        "bs": 2, "cache": True,
+        "bs": 4, "cache": True,
         "data_root": scene_root,
         "holdout_cam": "C02", "holdout_light": "L002",
-        "lr": "1e-3", "mgm": -1, "epochs": 1,
+        "lr": "1e-3", "mgm": -1, "epochs": 2,
         "ckpt_period": 1, "vali_period": -1, "vis_train_batches": 0,
-        "vali_batches": 0, "keep_recent_epochs": 1,
+        "vali_batches": 0, "keep_recent_epochs": 2,
         "overwrite": True,
     }
     cfg.update(overrides)
     return cfg
 
 
-def _run_procs(ini, n_procs, extra_args=()):
+def _run_procs(ini, n_procs, extra_args=(), local_devices=LOCAL_DEVICES):
     port = _free_port()
     procs = [
         subprocess.Popen(
@@ -216,7 +96,7 @@ def _run_procs(ini, n_procs, extra_args=()):
              "--coordinator_address", "127.0.0.1:%d" % port,
              "--num_processes", str(n_procs), "--process_id", str(i),
              *extra_args],
-            env=_mp_env(), cwd=REPO,
+            env=_mp_env(local_devices), cwd=REPO,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
         for i in range(n_procs)
     ]
@@ -227,12 +107,12 @@ def _run_procs(ini, n_procs, extra_args=()):
     return outs
 
 
-def _run_single(ini):
+def _run_single(ini, local_devices=LOCAL_DEVICES):
     subprocess.run(
         [sys.executable, "-m", "nlt_tpu.trainvali",
          "--config", ini, "--device", "cpu"],
-        env=_mp_env(), cwd=REPO, check=True, capture_output=True,
-        timeout=600)
+        env=_mp_env(local_devices), cwd=REPO, check=True,
+        capture_output=True, timeout=600)
 
 
 def _losses_of(outdir):
@@ -241,12 +121,67 @@ def _losses_of(outdir):
             if json.loads(l)["tag"] == "loss_train"]
 
 
+def test_two_process_training(tmp_path, scene_root):
+    """2 procs x 2 devices (data=4): full driver incl. vali vis,
+    checkpoints, and the multi-host device-cache path over 2 epochs
+    (the reshuffle moves examples across each host's two data rows)."""
+    outroot = str(tmp_path / "out")
+    cfg = _base_cfg(
+        scene_root, vali_period=1, vis_train_batches=1, vali_batches=1,
+        outroot=outroot, xname="mh2proc")
+    ini = str(tmp_path / "mh.ini")
+    Config(cfg).save(ini)
+
+    outs = _run_procs(ini, 2)
+
+    outdir = join(outroot, "mh2proc")
+    # Checkpoints saved by the multi-host Orbax contract.
+    assert glob(join(outdir, "checkpoints", "*"))
+    # Scalars + vali vis written by host 0 only.
+    scalars = join(outdir, "summary_train", "scalars.jsonl")
+    recs = [json.loads(line) for line in open(scalars)]
+    losses = [r["value"] for r in recs if r["tag"] == "loss_train"]
+    assert losses and all(np.isfinite(v) for v in losses)
+    assert glob(join(outdir, "vis_vali", "epoch*", "batch*"))
+    # Train vis is deliberately skipped on multi-host runs
+    # (data-sharded batches are not host-addressable).
+    assert "initialized: process" in outs[0]
+    assert "2 local / 4 global devices" in outs[0]
+    # The device example cache ran its multi-host path on every host.
+    for out in outs:
+        assert "Device example cache after epoch 1" in out
+
+
+def test_two_process_matches_single_process(tmp_path, scene_root):
+    """The 2-proc x 2-device run's epoch losses equal a single-process
+    run's: same global batches (seed-synchronized shuffle, per-host
+    slices), same mean gradient (psum over 'data'), same updates —
+    across 2 epochs so the device cache serves reshuffled epoch 2."""
+    base = _base_cfg(scene_root)
+
+    # Single process.
+    out1 = str(tmp_path / "out1")
+    ini1 = str(tmp_path / "single.ini")
+    Config(dict(base, outroot=out1, xname="single")).save(ini1)
+    _run_single(ini1)
+
+    # Two processes.
+    out2 = str(tmp_path / "out2")
+    ini2 = str(tmp_path / "dual.ini")
+    Config(dict(base, outroot=out2, xname="dual")).save(ini2)
+    _run_procs(ini2, 2)
+
+    l1 = _losses_of(join(out1, "single"))
+    l2 = _losses_of(join(out2, "dual"))
+    assert len(l1) == len(l2) == 2
+    np.testing.assert_allclose(l1, l2, rtol=1e-5)
+
+
 def test_four_process_grad_accum_matches_single(tmp_path, scene_root):
-    """4 coordinated processes x grad_accum=2 reproduce the
-    single-process losses: per-host loaders shard a bs-4 global batch
-    4 ways, each step scans 2 microbatches, psum over 'data'
-    (VERDICT r1: >=4-process and grad_accum x multiprocess cells)."""
-    base = _base_cfg(scene_root, bs=8, grad_accum=2)
+    """4 procs x 2 devices (data=8) x grad_accum=2 reproduce the
+    single-process losses: per-host loaders shard a bs-16 global batch
+    4 ways, each step scans 2 microbatches of 8, psum over 'data'."""
+    base = _base_cfg(scene_root, bs=16, grad_accum=2, epochs=1)
 
     out1 = str(tmp_path / "single")
     ini1 = str(tmp_path / "single.ini")
@@ -257,29 +192,36 @@ def test_four_process_grad_accum_matches_single(tmp_path, scene_root):
     ini4 = str(tmp_path / "quad.ini")
     Config(dict(base, outroot=out4, xname="x")).save(ini4)
     outs = _run_procs(ini4, 4)
-    assert "process 0/4" in outs[0] or "initialized" in outs[0]
+    assert "8 global devices" in outs[0]
 
     l1, l4 = _losses_of(join(out1, "x")), _losses_of(join(out4, "x"))
     assert len(l1) == len(l4) >= 1
     np.testing.assert_allclose(l1, l4, rtol=1e-5)
 
 
-def test_two_process_tile_sharded_matches_single(tmp_path, scene_root):
-    """2 processes forming a (data=1, tile=2) mesh: both hosts load the
-    SAME examples (process_data_shard), each contributes its device's
-    texel-tile slice (make_global_batch global_shape), and the losses
-    equal the single-process run (VERDICT r1: tile x multiprocess)."""
-    base = _base_cfg(scene_root)
+@pytest.mark.parametrize("n_tile", [2, 4])
+def test_two_process_tile_sharded_matches_single(
+        tmp_path, scene_root, n_tile):
+    """2 procs x 2 devices with texel tiling, both geometries:
+    - n_tile=2 -> (data=2, tile=2): each host owns one full data row
+      and tiles it across its OWN two devices;
+    - n_tile=4 -> (data=1, tile=4): the tile axis spans processes, so
+      both hosts load the SAME examples (process_data_shard) and each
+      contributes its devices' texel slices (make_global_batch
+      global_shape).
+    Losses must equal the single-process untiled run (tiling is a
+    layout, not a math change)."""
+    base = _base_cfg(scene_root, bs=2, epochs=1)
 
     out1 = str(tmp_path / "single")
     ini1 = str(tmp_path / "single.ini")
     Config(dict(base, outroot=out1, xname="x")).save(ini1)
     _run_single(ini1)
 
-    out2 = str(tmp_path / "tile2")
-    ini2 = str(tmp_path / "tile2.ini")
+    out2 = str(tmp_path / ("tile%d" % n_tile))
+    ini2 = str(tmp_path / ("tile%d.ini" % n_tile))
     Config(dict(base, outroot=out2, xname="x")).save(ini2)
-    _run_procs(ini2, 2, extra_args=("--n_tile", "2"))
+    _run_procs(ini2, 2, extra_args=("--n_tile", str(n_tile)))
 
     l1, l2 = _losses_of(join(out1, "x")), _losses_of(join(out2, "x"))
     assert len(l1) == len(l2) >= 1
@@ -287,12 +229,13 @@ def test_two_process_tile_sharded_matches_single(tmp_path, scene_root):
 
 
 def test_two_process_cached_statics_matches_uncached(tmp_path, scene_root):
-    """cache_static under multi-host (VERDICT r1 #7): per-host local
-    extraction + caches, global statics assembly — losses equal the
-    uncached 2-process run (and exercise the planned-resample and
-    LPIPS gt-feature cache paths)."""
+    """cache_static under multi-host, 2 devices per process: per-host
+    local extraction + caches, global statics assembly — losses equal
+    the uncached 2-process run across 2 epochs (and exercise the
+    planned-resample and LPIPS gt-feature cache paths on reshuffled
+    batches)."""
     base = _base_cfg(scene_root, loss="l1,1e+0lpips",
-                     lpips_weights="none", epochs=2)
+                     lpips_weights="none")
 
     def run2(cache_on, tag):
         out = str(tmp_path / tag)
