@@ -45,6 +45,11 @@ def parse_args(argv=None):
     p.add_argument("--fps", type=int, default=24)
     p.add_argument("--device", type=str, default="auto",
                    choices=["auto", "cpu", "tpu"])
+    p.add_argument("--n_data", type=int, default=-1,
+                   help="devices along the inference data axis: -1 = "
+                        "all available (clamped to the batch size), "
+                        "1 = single-device (the reference's single-"
+                        "replica test path, nlt/nlt_test.py:78-94)")
     return p.parse_args(argv)
 
 
@@ -99,11 +104,22 @@ def extract_feat(model, state, dataset, n_obs_batches=1):
     return [s / count for s in feat_sums]  # each 1 x H x W x C
 
 
-def infer(model, state, dataset, feat_agg, outroot, report_every=10):
+def infer(model, state, dataset, feat_agg, outroot, report_every=10,
+          mesh=None):
     """Run test inference with the tiled averaged pyramid as obs_override
-    (reference: nlt_test.py:78-94)."""
+    (reference: nlt_test.py:78-94).
+
+    mesh: optional ('data', 'tile') mesh — test batches shard over
+    'data' (remainder batches replicate) and the obs pyramid + params
+    replicate, so a pod slice accelerates test sweeps the same way it
+    does training (the reference is single-replica at test time;
+    extension per VERDICT r2 #5). Frames are identical to the
+    single-device path — sharding is a layout, not a math change."""
     batch_dirs = []
     is_linear = model.config.get_bool("linear_space")
+    if mesh is not None:
+        from .parallel import mesh as mesh_mod
+        state = jax.device_put(state, mesh_mod.replicated(mesh))
 
     def _apply(p, b, ov):
         tv = model.apply(p, b, "test", obs_override=ov)[3]
@@ -116,10 +132,19 @@ def infer(model, state, dataset, feat_agg, outroot, report_every=10):
     # Keep the remainder: every test view must be inferred.
     for batch_i, batch in enumerate(
             dataset.iterate(seed=0, drop_remainder=False)):
-        arrays = {k: jnp.asarray(v) for k, v in batch.items()
+        arrays = {k: v for k, v in batch.items()
                   if not isinstance(v, list)}
         bs = arrays["base"].shape[0]
-        obs_override = [jnp.tile(x, (bs, 1, 1, 1)) for x in feat_agg]
+        if mesh is not None:
+            from .parallel import mesh as mesh_mod
+            arrays = mesh_mod.shard_batch(mesh, arrays)
+            obs_override = [
+                jax.device_put(jnp.tile(x, (bs, 1, 1, 1)),
+                               mesh_mod.replicated(mesh))
+                for x in feat_agg]
+        else:
+            arrays = {k: jnp.asarray(v) for k, v in arrays.items()}
+            obs_override = [jnp.tile(x, (bs, 1, 1, 1)) for x in feat_agg]
         to_vis = apply_jit(state["params"], arrays, obs_override)
         to_vis = {k: np.asarray(v) for k, v in to_vis.items()}
         to_vis["id"] = batch["id"]
@@ -151,11 +176,23 @@ def main(argv=None):
     feat_agg = extract_feat(
         model, state, dataset_train, n_obs_batches=args.n_obs_batches)
 
+    # Data-sharded inference over the available devices (clamped to the
+    # largest batch-size divisor; single-device when only one chip or
+    # --n_data 1).
+    mesh = None
+    if args.n_data != 1 and len(jax.devices()) > 1:
+        from .parallel import mesh as mesh_mod
+        n_data = None if args.n_data < 0 else args.n_data
+        mesh = mesh_mod.make_mesh(
+            n_data=n_data, batch_size=config.get_int("bs"))
+        logger.info("Inference mesh: %s over %d devices",
+                    dict(mesh.shape), len(jax.devices()))
+
     step = args.step if args.step is not None else "latest"
     outroot = join(config_ini[:-len(".ini")], "vis_test",
                    "ckpt-%s_pred" % step)
     batch_vis_dirs = infer(
-        model, state, dataset_test, feat_agg, outroot)
+        model, state, dataset_test, feat_agg, outroot, mesh=mesh)
 
     # Use infer()'s dir list, not a re-glob (stale dirs from a previous
     # run with a different batch size would pollute the video).

@@ -229,6 +229,67 @@ def test_serve(trained):
         np.clip(out["pred_camspc"], 0, 1), atol=1 / 255.0 + 1e-6)
 
 
+def test_nlt_test_sharded_matches_single_device(trained):
+    """Data-sharded inference over the 8-device CPU mesh produces
+    byte-identical frames to the single-device path (VERDICT r2 #5:
+    mesh-sharded inference; the reference is single-replica at test
+    time, nlt/nlt_test.py:78-94)."""
+    from nlt_tpu import nlt_test
+    _, _, outdir = trained
+
+    def run(n_data):
+        nlt_test.main([
+            "--ckpt", join(outdir, "checkpoints"),
+            "--n_obs_batches", "1", "--fps", "4",
+            "--n_data", str(n_data)])
+        pngs = sorted(glob(join(
+            outdir, "vis_test", "*", "batch*", "*_pred.png")))
+        assert pngs
+        return {p: open(p, "rb").read() for p in pngs}
+
+    single = run(1)
+    sharded = run(-1)  # all devices, clamped to the batch size
+    assert set(single) == set(sharded)
+    for p in single:
+        assert single[p] == sharded[p], "frame differs: %s" % p
+
+
+def test_serve_sharded_matches_unsharded(trained):
+    """Server(shard=True) shards request batches over the device mesh
+    with identical predictions, for both streamed and repeat-query
+    (device input cache) requests."""
+    from nlt_tpu.serve import Server
+    from nlt_tpu.datasets import get_dataset_class
+    _, _, outdir = trained
+    ref = Server(join(outdir, "checkpoints"))
+    ref.precompute_obs(n_obs_batches=1)
+    sh = Server(join(outdir, "checkpoints"), shard=True)
+    sh.precompute_obs(n_obs_batches=1)
+
+    ds = get_dataset_class("nlt")(sh.config, "test")
+    batch = next(iter(ds.iterate(seed=0)))
+    want = ref.predict(batch)
+
+    got = sh.predict(batch)
+    np.testing.assert_allclose(
+        got["pred_camspc"], want["pred_camspc"], rtol=1e-6, atol=1e-6)
+    # The inputs really were sharded over a >1-device data axis.
+    assert sh._meshes and all(
+        m.shape["data"] > 1 for m in sh._meshes.values())
+
+    # Repeat-query path through the device cache, sharded.
+    got_c1 = sh.predict(batch, ids=batch["id"])
+    got_c2 = sh.predict(batch, ids=batch["id"])
+    np.testing.assert_allclose(
+        got_c1["pred_camspc"], want["pred_camspc"], rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(
+        got_c2["pred_camspc"], got_c1["pred_camspc"])
+    assert sh._input_cache.hits == len(batch["id"])
+
+    stats = sh.benchmark(batch, n=3, ids=batch["id"])
+    assert stats["fps"] > 0
+
+
 def test_trainvali_capped_static_cache_losses_equal(tmp_path, scene_root):
     """A capacity-capped GT-feature cache (some examples cached, some
     re-extracted each step) must train to the same losses as the
