@@ -406,6 +406,55 @@ def main(argv=None):
     # hooks, only wall-clock batch times).
     profile_state = {"on": False, "done": not args.profile}
 
+    # Upload/step overlap: place batch i+1 (host->device transfer +
+    # device-cache insert/assembly) on a worker thread while batch i's
+    # extraction + train step run — the cold first epoch is otherwise
+    # serialized upload -> extract -> step per batch, and on thin-host /
+    # tunneled deployments the upload dominates it. Placement order is
+    # unchanged (one worker, depth-1 queue), so losses are identical.
+    # Knob: prefetch_batches (0 disables; default 1).
+    prefetch_depth = config.get_int("prefetch_batches", 1)
+
+    def place(batch):
+        arrays, meta = strip_host_fields(batch)
+        local_arrays = arrays
+        if is_multiprocess:
+            if device_cache is not None:
+                # Per-host device shards (each host caches only its
+                # own example slice; parallel/device_cache.py).
+                arrays = device_cache.make_global_batch(
+                    mesh, arrays, batch["id"], tile_spatial)
+            else:
+                arrays = mesh_mod.make_global_batch(
+                    mesh, arrays, tile_spatial)
+        elif device_cache is not None:
+            arrays = device_cache.shard_batch(
+                mesh, arrays, batch["id"], tile_spatial)
+        else:
+            arrays = mesh_mod.shard_batch(mesh, arrays, tile_spatial)
+        return arrays, local_arrays, meta, batch["id"]
+
+    place_pool = None
+    if prefetch_depth > 0:
+        from concurrent.futures import ThreadPoolExecutor
+        place_pool = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="nlt_place")
+
+    def placed_batches(batch_iter):
+        """Yield place(batch) results, placing one batch ahead."""
+        if place_pool is None:
+            for b in batch_iter:
+                yield place(b)
+            return
+        fut = None
+        for b in batch_iter:
+            nxt = place_pool.submit(place, b)
+            if fut is not None:
+                yield fut.result()
+            fut = nxt
+        if fut is not None:
+            yield fut.result()
+
     for epoch_i in range(epoch_restored, epochs):
         # ---- train over all batches ----
         batch_loss, batch_vis, batch_time = [], [], []
@@ -415,27 +464,11 @@ def main(argv=None):
         # contribute their devices' spatial slices (parallel/mesh.py).
         data_shard_id, data_num_shards = mesh_mod.process_data_shard(
             mesh)
-        for batch_i, batch in enumerate(
-                dataset_train.iterate(
+        for batch_i, (arrays, local_arrays, meta, batch_ids) in enumerate(
+                placed_batches(dataset_train.iterate(
                     seed=epoch_i, no_batch=no_batch,
                     shard_id=data_shard_id,
-                    num_shards=data_num_shards)):
-            arrays, meta = strip_host_fields(batch)
-            local_arrays = arrays
-            if is_multiprocess:
-                if device_cache is not None:
-                    # Per-host device shards (each host caches only its
-                    # own example slice; parallel/device_cache.py).
-                    arrays = device_cache.make_global_batch(
-                        mesh, arrays, batch["id"], tile_spatial)
-                else:
-                    arrays = mesh_mod.make_global_batch(
-                        mesh, arrays, tile_spatial)
-            elif device_cache is not None:
-                arrays = device_cache.shard_batch(
-                    mesh, arrays, batch["id"], tile_spatial)
-            else:
-                arrays = mesh_mod.shard_batch(mesh, arrays, tile_spatial)
+                    num_shards=data_num_shards))):
             if not profile_state["done"] and batch_i == 1:
                 jax.profiler.start_trace(join(outdir, "profile"))
                 profile_state["on"] = True
@@ -450,26 +483,26 @@ def main(argv=None):
                 if is_multiprocess:
                     # Per-host cache over this host's example slice;
                     # global statics assembled like the batch itself.
-                    if feat_cache.has_all(batch["id"]):
-                        local_statics = feat_cache.gather(batch["id"])
+                    if feat_cache.has_all(batch_ids):
+                        local_statics = feat_cache.gather(batch_ids)
                     else:
                         local_statics = extract_statics(
                             extract_params_local, local_arrays)
-                        if feat_cache.insert(batch["id"], local_statics):
+                        if feat_cache.insert(batch_ids, local_statics):
                             local_statics = feat_cache.gather(
-                                batch["id"])
+                                batch_ids)
                         # else: capacity-capped rows feed the freshly
                         # extracted statics directly.
                     statics = mesh_mod.make_global_tree(
                         mesh, local_statics)
                 else:
-                    if feat_cache.has_all(batch["id"]):
-                        statics = feat_cache.gather(batch["id"])
+                    if feat_cache.has_all(batch_ids):
+                        statics = feat_cache.gather(batch_ids)
                     else:
                         statics = extract_statics(
                             state["params"], arrays)
-                        if feat_cache.insert(batch["id"], statics):
-                            statics = feat_cache.gather(batch["id"])
+                        if feat_cache.insert(batch_ids, statics):
+                            statics = feat_cache.gather(batch_ids)
                 state, loss, to_vis = train_step_cached(
                     state, arrays, statics)
             else:

@@ -229,6 +229,25 @@ def test_serve(trained):
         np.clip(out["pred_camspc"], 0, 1), atol=1 / 255.0 + 1e-6)
 
 
+def test_prefetch_losses_identical(tmp_path, scene_root):
+    """The depth-1 placement prefetch (upload batch i+1 while batch i
+    computes; VERDICT r2 #4) must not change anything numerically:
+    losses equal the synchronous path bit-for-bit."""
+    from nlt_tpu import trainvali
+    losses = {}
+    for tag, depth in (("sync", 0), ("prefetch", 1)):
+        d = tmp_path / tag
+        d.mkdir()
+        ini = write_ini(d, scene_root, prefetch_batches=depth,
+                        vali_period=-1, vis_train_batches=0,
+                        vali_batches=0)
+        outdir = trainvali.main(["--config", ini])
+        scalars = join(outdir, "summary_train", "scalars.jsonl")
+        losses[tag] = [json.loads(l)["value"] for l in open(scalars)
+                       if json.loads(l)["tag"] == "loss_train"]
+    assert losses["sync"] == losses["prefetch"], losses
+
+
 def test_nlt_test_sharded_matches_single_device(trained):
     """Data-sharded inference over the 8-device CPU mesh produces
     byte-identical frames to the single-device path (VERDICT r2 #5:
