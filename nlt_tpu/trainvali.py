@@ -372,10 +372,12 @@ def main(argv=None):
     # pull the prediction off the device — on a tunneled host that cuts
     # the per-vis-batch transfer another ~4x on top of the packing.
     _static_vis = ("base_camspc", "nn_camspc", "gt_camspc")
-    # Bounded (FIFO) so shuffled train vis batches cannot grow it
-    # without limit over long runs (~2.4 MB/example at 512^2).
+    # Bounded LRU so shuffled train vis batches cannot grow it without
+    # limit over long runs (~2.4 MB/example at 512^2) and a >cap vis
+    # rotation still hits on recently-seen examples (insertion-order
+    # FIFO degenerated there: it evicted the example it just re-used).
     _VIS_CACHE_CAP = 256
-    vis_host_cache = {}
+    vis_host_cache = {}  # id -> statics; dict preserves insert order
 
     def fetch_vis(to_vis, meta):
         if not dump_raw:
@@ -390,10 +392,13 @@ def main(argv=None):
             for k in statics_present:
                 out[k] = np.stack(
                     [vis_host_cache[i][k] for i in ids])
+            for i in ids:  # refresh recency
+                vis_host_cache[i] = vis_host_cache.pop(i)
         else:
             out = {k: np.asarray(v) for k, v in packed.items()}
             if ids:
                 for j, i in enumerate(ids):
+                    vis_host_cache.pop(i, None)  # re-insert as newest
                     vis_host_cache[i] = {
                         k: out[k][j] for k in statics_present}
                 while len(vis_host_cache) > _VIS_CACHE_CAP:

@@ -241,6 +241,72 @@ def test_batchnorm_moving_stats_train_eval(rng):
         np.asarray(y_eval2), np.asarray(y_train), atol=2e-2)
 
 
+def test_batchnorm_grad_accum_stats_pin(rng):
+    """Pin the documented grad_accum BN approximation
+    (parallel/train.py): the merged batch stats are the mean over
+    microbatches of per-micro stats, where microbatch i is the strided
+    slice [i::N]. Means are exact (mean of equal-size means == the
+    full-batch mean); variances are the mean of within-micro variances,
+    NOT the full-batch variance."""
+    from nlt_tpu.models import get_model_class
+    from nlt_tpu.parallel import train as train_mod
+    from tests.test_model_nlt import small_config, make_batch
+
+    cfg = small_config(norm="batch")
+    model = get_model_class("nlt")(cfg)
+    tx = train_mod.make_optimizer(1e-3)
+    state = train_mod.init_state(model, tx, jax.random.PRNGKey(0))
+    params0 = jax.tree.map(np.asarray, state["params"])
+
+    b2 = make_batch(rng)
+    batch = {k: np.concatenate([v, v[::-1] * 0.5 + 0.1])
+             for k, v in b2.items()}  # bs 4, micro-batches differ
+
+    # Expected taps: forward the two strided microbatches under the
+    # collector with the INITIAL params (taps are computed in the
+    # forward pass, before the update).
+    taps_micro = []
+    for i in range(2):
+        micro = {k: jnp.asarray(v[i::2]) for k, v in batch.items()}
+        with elements.collect_bn_stats() as taps:
+            model.apply(state["params"], micro, "train")
+        taps_micro.append(jax.tree.map(np.asarray, dict(taps)))
+    taps_mean = jax.tree.map(
+        lambda a, b: (a + b) / 2, taps_micro[0], taps_micro[1])
+    expected = elements.merge_bn_stats(params0, taps_mean)
+
+    step2 = train_mod.make_train_step(model, tx, grad_accum=2)
+    state2, loss, _ = step2(state, {
+        k: jnp.asarray(v) for k, v in batch.items()})
+    assert np.isfinite(float(loss))
+
+    def stats_of(params):
+        return {str(p): np.asarray(v)
+                for p, v in jax.tree_util.tree_leaves_with_path(params)
+                if "moving_" in str(p[-1])}
+
+    got = stats_of(state2["params"])
+    want = stats_of(expected)
+    assert set(got) == set(want) and want
+    for k in want:
+        np.testing.assert_allclose(got[k], want[k], rtol=1e-4,
+                                   atol=1e-6, err_msg=k)
+
+    # Document the approximation: mean-of-micro-vars differs from the
+    # full-batch variance (they'd coincide only if the micro means
+    # were equal).
+    with elements.collect_bn_stats() as taps_full:
+        model.apply(
+            jax.device_put(params0),
+            {k: jnp.asarray(v) for k, v in batch.items()}, "train")
+    taps_full = jax.tree.map(np.asarray, dict(taps_full))
+    diffs = jax.tree.map(
+        lambda a, b: float(np.abs(a - b).max()),
+        {k: v["var"] for k, v in taps_mean.items()},
+        {k: v["var"] for k, v in taps_full.items()})
+    assert any(d > 1e-7 for d in jax.tree.leaves(diffs)), diffs
+
+
 def test_batchnorm_trains_end_to_end(rng):
     """A norm=batch model's train step updates moving stats in the
     checkpointable params; the eval step consumes them."""
