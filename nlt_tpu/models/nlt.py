@@ -111,6 +111,9 @@ class Model(BaseModel):
             config.get("obs_weighting", "none") or "none").lower()
         assert self.obs_weighting in ("none", "inverse_distance"), (
             "Unknown obs_weighting %r" % self.obs_weighting)
+        # n_obs > 1: fold the K observations into the obs path's batch
+        # axis (one batched conv per stage; _apply_unet docstring).
+        self.obs_fold = config.get_bool("obs_fold", True)
         self.skip_connect_base = config.get_bool("skip_connect_base")
         self.resample_impl = config.get("resample_impl", "xla")
         # bfloat16 runs the U-Net in half precision (params stay f32;
@@ -215,20 +218,29 @@ class Model(BaseModel):
             # 1/d weights; epsilon guards a (theoretical) zero distance.
             obs_weights = 1.0 / (batch["nn_dist"] + jnp.float32(1e-6))
         if nn_rgb.ndim == 5:
-            # Multi-observation batch (N, K, H, W, C) — one obs-path
-            # input per observation; per-stage features mean-aggregate
-            # exactly like the reference's obs list
-            # (reference: nlt/models/nlt.py:96, 161-164). Vis shows the
-            # first (nearest) observation.
-            y_obs = [nn_rgb[:, j] - nn_base[:, j]
-                     for j in range(nn_rgb.shape[1])]
+            # Multi-observation batch (N, K, H, W, C): the K
+            # observations run FOLDED into the obs path's batch axis
+            # (one batched conv per stage; see _apply_unet), with
+            # per-stage features mean-aggregated exactly like the
+            # reference's obs list (reference: nlt/models/nlt.py:96,
+            # 161-164). obs_fold=False restores the unrolled per-
+            # observation loop for A/B. Vis shows the first (nearest)
+            # observation.
+            if self.obs_fold:
+                y_obs = nn_rgb - nn_base
+            else:
+                y_obs = [nn_rgb[:, j] - nn_base[:, j]
+                         for j in range(nn_rgb.shape[1])]
             nn_camspc = nn_camspc[:, 0]
         else:
             y_obs = [nn_rgb - nn_base]  # one neighbor
 
         if self.compute_dtype != jnp.float32:
             x = x.astype(self.compute_dtype)
-            y_obs = [t.astype(self.compute_dtype) for t in y_obs]
+            if isinstance(y_obs, list):
+                y_obs = [t.astype(self.compute_dtype) for t in y_obs]
+            else:
+                y_obs = y_obs.astype(self.compute_dtype)
         pred = self._apply_unet(
             params["net"], x, y_obs, obs_weights=obs_weights,
             obs_override=obs_override)
@@ -349,6 +361,15 @@ class Model(BaseModel):
                     obs_override=None):
         """The interleaved dual U-Net (reference: nlt/models/nlt.py:141-199).
 
+        obs_xs: a list of (N, H, W, C) observation inputs, or a single
+        (N, K, H, W, C) array — the K observations then run FOLDED into
+        the batch axis (one batched conv per obs stage instead of K
+        small ones: bigger MXU matmuls, and the mesh's 'data' sharding
+        parallelizes observations with no extra axis — the TPU-native
+        form of SURVEY §7 M5's light/view-pair sharding). Identical
+        math either way (convs are per-example; the per-stage mean runs
+        over the unfolded K view).
+
         obs_override: optional list with one entry per contracting stage
         (an (N, H, W, C) aggregated feature map) substituting obs_agg.
         """
@@ -356,9 +377,18 @@ class Model(BaseModel):
         obs = self.net["obs"]
         q_params = net_params["query"]
         o_params = net_params["obs"]
+        folded_k = None
+        if not isinstance(obs_xs, (list, tuple)):
+            n, folded_k = obs_xs.shape[0], obs_xs.shape[1]
+            obs_x = obs_xs.reshape((n * folded_k,) + obs_xs.shape[2:])
         if obs_weights is not None:
-            obs_weights = obs_weights.reshape(
-                obs_weights.shape[0], 1, 1, 1, -1)
+            if folded_k is not None:
+                # (N, K) -> broadcast over the unfolded feature view.
+                obs_weights = obs_weights.reshape(
+                    obs_weights.shape[0], obs_weights.shape[1], 1, 1, 1)
+            else:
+                obs_weights = obs_weights.reshape(
+                    obs_weights.shape[0], 1, 1, 1, -1)
 
         query_featmaps = []
         obs_i = 0
@@ -366,25 +396,42 @@ class Model(BaseModel):
         for i, (stage, contracting) in enumerate(
                 zip(query.stages, query.is_contracting)):
             if contracting:
-                obs_ys = [
-                    self._stage_apply(obs.stages[obs_i], o_params[obs_i], t)
-                    for t in obs_xs]
-                # Mean-aggregate observation features
-                # (reference: nlt/models/nlt.py:161-164). A single
-                # unweighted observation aggregates to itself (mean over
-                # one element) — skip the stack/mean, whose materialized
-                # (N, H, W, C, 1) intermediate costs real copies.
-                if obs_weights is None and len(obs_ys) == 1:
-                    obs_agg = obs_ys[0]
-                elif obs_weights is None:
-                    obs_agg = jnp.mean(jnp.stack(obs_ys, axis=-1), axis=-1)
+                if folded_k is not None:
+                    obs_x = self._stage_apply(
+                        obs.stages[obs_i], o_params[obs_i], obs_x)
+                    kview = obs_x.reshape(
+                        (n, folded_k) + obs_x.shape[1:])
+                    if obs_weights is None:
+                        obs_agg = jnp.mean(kview, axis=1)
+                    else:
+                        obs_agg = (jnp.sum(obs_weights * kview, axis=1)
+                                   / jnp.sum(obs_weights, axis=1))
+                    obs_i += 1
                 else:
-                    # Weighted mean: normalize by the weight sum, not K.
-                    obs_agg = jnp.stack(obs_ys, axis=-1)
-                    obs_agg = (jnp.sum(obs_weights * obs_agg, axis=-1)
-                               / jnp.sum(obs_weights, axis=-1))
-                obs_xs = obs_ys
-                obs_i += 1
+                    obs_ys = [
+                        self._stage_apply(
+                            obs.stages[obs_i], o_params[obs_i], t)
+                        for t in obs_xs]
+                    # Mean-aggregate observation features
+                    # (reference: nlt/models/nlt.py:161-164). A single
+                    # unweighted observation aggregates to itself (mean
+                    # over one element) — skip the stack/mean, whose
+                    # materialized (N, H, W, C, 1) intermediate costs
+                    # real copies.
+                    if obs_weights is None and len(obs_ys) == 1:
+                        obs_agg = obs_ys[0]
+                    elif obs_weights is None:
+                        obs_agg = jnp.mean(
+                            jnp.stack(obs_ys, axis=-1), axis=-1)
+                    else:
+                        # Weighted mean: normalize by the weight sum,
+                        # not K.
+                        obs_agg = jnp.stack(obs_ys, axis=-1)
+                        obs_agg = (
+                            jnp.sum(obs_weights * obs_agg, axis=-1)
+                            / jnp.sum(obs_weights, axis=-1))
+                    obs_xs = obs_ys
+                    obs_i += 1
 
                 query_y = self._stage_apply(stage, q_params[i], query_x)
                 if self.use_obs:

@@ -190,6 +190,43 @@ def test_obs_weights_normalized_mean(scene_root):
         np.asarray(out_w), np.asarray(out_plain), rtol=1e-5, atol=1e-5)
 
 
+def test_obs_fold_matches_unrolled(scene_root):
+    """The folded multi-observation path (K observations batched into
+    the obs path's batch axis, one conv per stage — SURVEY §7 M5's
+    light/view-pair scaling, TPU-native form) equals the unrolled
+    per-observation loop, with and without distance weights."""
+    import jax
+    import jax.numpy as jnp
+
+    from nlt_tpu.models import get_model_class
+
+    batch_arr = None
+    preds = {}
+    for weighting in ("none", "inverse_distance"):
+        for fold in (True, False):
+            cfg = scene_config(scene_root, n_obs=2, obs_fold=fold,
+                               obs_weighting=weighting)
+            model = get_model_class("nlt")(cfg)
+            if batch_arr is None:
+                ds = get_dataset_class("nlt")(
+                    scene_config(scene_root, n_obs=2,
+                                 obs_weighting="inverse_distance"),
+                    "train")
+                batch = next(iter(ds.iterate(seed=0)))
+                batch_arr = {k: jnp.asarray(v) for k, v in batch.items()
+                             if not isinstance(v, list)}
+                params = model.init_params(jax.random.PRNGKey(0))
+            pred, *_ = model.apply(params, batch_arr, "train")
+            preds[(weighting, fold)] = np.asarray(pred)
+    for weighting in ("none", "inverse_distance"):
+        np.testing.assert_allclose(
+            preds[(weighting, True)], preds[(weighting, False)],
+            rtol=1e-5, atol=1e-6, err_msg=weighting)
+    # Sanity: weighting changes the result (distances are unequal).
+    assert not np.allclose(preds[("none", True)],
+                           preds[("inverse_distance", True)])
+
+
 def test_obs_weighting_inverse_distance(scene_root):
     """obs_weighting = inverse_distance: the dataset emits per-
     observation (cam, light) distances from the config JSON positions,
