@@ -57,14 +57,21 @@ TAKE_BYTES_PER_ROW = 48 + 4 + 48
 SCATTER_BYTES_PER_ROW = 12 + 16 + 2 * 48
 
 
-def _flops_of(jitted, *args):
-    """XLA HLO cost-analysis FLOPs of one call, or None."""
+def _cost_of(jitted, *args):
+    """XLA cost analysis of one call: {'flops', 'bytes'} or None.
+
+    The compiled-executable analysis is used (the lowered-only one
+    returns None on this backend); the executable is already in the
+    jit cache when this runs, so no extra compile happens."""
     try:
-        cost = jitted.lower(*args).cost_analysis()
+        cost = jitted.lower(*args).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         f = float(cost.get("flops", 0.0))
-        return f if f > 0 else None
+        b = float(cost.get("bytes accessed", 0.0))
+        o = float(cost.get("optimal_seconds", 0.0))
+        return ({"flops": f, "bytes": b, "optimal_s": o}
+                if f > 0 else None)
     except Exception:
         return None
 
@@ -174,13 +181,13 @@ def main():
             model, tx, with_vis=True, cached_statics=True)
         extract = train_mod.make_static_extractor(model)
         statics = extract(state["params"], batch)
-        flops = _flops_of(step_cached, state, batch, statics)
+        cost = _cost_of(step_cached, state, batch, statics)
         dt_unc, state = measure(train_step, state)
         dt_cached, state = measure(step_cached, state, extra=(statics,))
-        return dt_unc, dt_cached, flops, model
+        return dt_unc, dt_cached, cost, model
 
     # Headline: bf16 compute (the shipped default); f32 for parity.
-    dt_unc16, dt_c16, flops16, _model = measure_dtype("bfloat16")
+    dt_unc16, dt_c16, cost16, _model = measure_dtype("bfloat16")
     _, dt_c32, _, _ = measure_dtype("float32")
 
     dt = min(dt_c16, dt_unc16)
@@ -196,10 +203,23 @@ def main():
         "step_time_f32_s": round(dt_c32, 5),
         "device": str(jax.devices()[0]),
     }
-    if flops16:
-        rec["flops_per_step"] = round(flops16)
+    if cost16:
+        rec["flops_per_step"] = round(cost16["flops"])
         rec["mfu_pct"] = round(
-            100 * flops16 / dt / V5E_PEAK_BF16_FLOPS, 2)
+            100 * cost16["flops"] / dt / V5E_PEAK_BF16_FLOPS, 2)
+        if cost16["bytes"]:
+            # XLA's per-instruction operand-byte count. NOT actual HBM
+            # traffic (pre-fusion operands re-read from VMEM are
+            # counted; the sum can exceed HBM peak x time) — reported
+            # as a workload-shape diagnostic only.
+            rec["xla_bytes_accessed"] = round(cost16["bytes"])
+        if cost16["optimal_s"]:
+            # XLA's own roofline estimate of the step's best case;
+            # measured/optimal is the honest 'distance from the
+            # compiler's roofline' ratio.
+            rec["xla_optimal_step_ms"] = round(
+                cost16["optimal_s"] * 1e3, 3)
+            rec["vs_xla_optimal"] = round(dt / cost16["optimal_s"], 2)
     try:
         rec.update(_bench_resample(batch, slope_time))
     except Exception as e:  # roofline probes must not kill the bench
