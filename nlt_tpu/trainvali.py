@@ -413,12 +413,19 @@ def main(argv=None):
 
     # Upload/step overlap: place batch i+1 (host->device transfer +
     # device-cache insert/assembly) on a worker thread while batch i's
-    # extraction + train step run — the cold first epoch is otherwise
-    # serialized upload -> extract -> step per batch, and on thin-host /
-    # tunneled deployments the upload dominates it. Placement order is
-    # unchanged (one worker, depth-1 queue), so losses are identical.
-    # Knob: prefetch_batches (0 disables; default 1).
-    prefetch_depth = config.get_int("prefetch_batches", 1)
+    # extraction + train step run. Placement order is unchanged (one
+    # worker, depth-1 queue), so losses are identical. MEASURED AND
+    # DEFAULTED OFF on this deployment (interleaved 2x A/B on the real
+    # chip, 512^2 cold epochs): the tunnel's PJRT client serializes
+    # RPCs from concurrent threads, so threaded placement ran 4-20x
+    # SLOWER (13.2/29.4 s/batch vs 3.5/1.5 synchronous); and because
+    # step dispatch is already async, the plain loop ALREADY overlaps
+    # device compute with the next batch's host work — with a 0.06 s
+    # step against 1.5-3.5 s of wire time there is no 2x to win here.
+    # The knob remains for direct-attached TPU hosts, where H2D copy
+    # engines overlap compute and a second thread does not share an
+    # RPC channel. Knob: prefetch_batches (default 0 = synchronous).
+    prefetch_depth = config.get_int("prefetch_batches", 0)
 
     def place(batch):
         arrays, meta = strip_host_fields(batch)
