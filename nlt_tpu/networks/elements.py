@@ -26,6 +26,7 @@ A Layer is a pair of pure functions:
 """
 
 import collections
+import threading
 import os
 
 import jax
@@ -278,8 +279,15 @@ def act(type_):
 
 BN_MOMENTUM = 0.99  # Keras BatchNormalization default
 
-_BN_TAPS = None
+# Thread-local: concurrent traces (e.g. a background placement or
+# serving thread tracing while the main thread traces the train step)
+# each see their own collector instead of interleaving taps.
+_BN_STATE = threading.local()
 _BN_AUTO_IDS = iter(range(1 << 30))
+
+
+def _bn_taps():
+    return getattr(_BN_STATE, "taps", None)
 
 
 class collect_bn_stats:
@@ -287,14 +295,12 @@ class collect_bn_stats:
     statistics and record them as {bn_name: {'mean', 'var'}}."""
 
     def __enter__(self):
-        global _BN_TAPS
-        self._prev = _BN_TAPS
-        _BN_TAPS = {}
-        return _BN_TAPS
+        self._prev = _bn_taps()
+        _BN_STATE.taps = {}
+        return _BN_STATE.taps
 
     def __exit__(self, *exc):
-        global _BN_TAPS
-        _BN_TAPS = self._prev
+        _BN_STATE.taps = self._prev
         return False
 
 
@@ -350,10 +356,11 @@ def norm(type_, bn_name=None):
                     var_key: jnp.ones((in_ch,))}, in_ch
 
         def apply(params, x):
-            if _BN_TAPS is not None:
+            taps = _bn_taps()
+            if taps is not None:
                 mean = jnp.mean(x, axis=(0, 1, 2))
                 var = jnp.var(x, axis=(0, 1, 2))
-                _BN_TAPS[name] = {
+                taps[name] = {
                     "mean": jax.lax.stop_gradient(mean.astype(
                         jnp.float32)),
                     "var": jax.lax.stop_gradient(var.astype(
