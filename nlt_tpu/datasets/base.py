@@ -85,16 +85,22 @@ class Dataset:
         self._cache_lock = threading.Lock()
         if cache == "disk":
             root = config.get_list("data_root")[0].rstrip("/")
-            # The wire format (uint8 vs f32) and the observation count
-            # (n_obs stacks the nn fields) are part of the cache
-            # identity — flipping either must not hit blobs written
-            # under the other layout.
+            # Every knob that changes the example FIELD SET or layout
+            # is part of the cache identity — flipping one must not
+            # hit blobs written under the other schema: the wire
+            # format (uint8 vs f32), the observation count (n_obs
+            # stacks the nn fields), and obs_weighting (adds nn_dist;
+            # stale blobs without it would silently drop the weights).
             u8 = config.get_bool("device_normalize", False)
             n_obs = config.get_int("n_obs", 1)
-            self._disk_cache_dir = "%s_cache/%s_uv%s_im%s%s%s" % (
+            weighting = (config.get("obs_weighting", "none")
+                         or "none").lower()
+            self._disk_cache_dir = "%s_cache/%s_uv%s_im%s%s%s%s" % (
                 root, mode, config.get("uvh"), config.get("imh"),
                 "_u8" if u8 else "",
-                "_obs%d" % n_obs if n_obs > 1 else "")
+                "_obs%d" % n_obs if n_obs > 1 else "",
+                "_w" + weighting if (weighting != "none"
+                                     and n_obs > 1) else "")
             os.makedirs(self._disk_cache_dir, exist_ok=True)
         # Batch schema (field -> delivered dtype/shape), discovered from
         # the first loaded example and reused to preallocate batches.

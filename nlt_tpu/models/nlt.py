@@ -113,7 +113,16 @@ class Model(BaseModel):
             "Unknown obs_weighting %r" % self.obs_weighting)
         # n_obs > 1: fold the K observations into the obs path's batch
         # axis (one batched conv per stage; _apply_unet docstring).
-        self.obs_fold = config.get_bool("obs_fold", True)
+        # Defaults OFF for norm=batch: folded BatchNorm would compute
+        # batch statistics over the (N*K) axis, coupling observations
+        # — different training numerics from the per-observation loop.
+        self.obs_fold = config.get_bool("obs_fold", norm != "batch")
+        if self.obs_fold and norm == "batch":
+            logger.warn(
+                "obs_fold=True with norm=batch: the obs path's BN "
+                "batch statistics run over the folded (N*K) axis, "
+                "coupling observations (not equal to the unrolled "
+                "per-observation loop)")
         self.skip_connect_base = config.get_bool("skip_connect_base")
         self.resample_impl = config.get("resample_impl", "xla")
         # bfloat16 runs the U-Net in half precision (params stay f32;
@@ -216,7 +225,11 @@ class Model(BaseModel):
         if (self.obs_weighting == "inverse_distance"
                 and nn_rgb.ndim == 5 and "nn_dist" in batch):
             # 1/d weights; epsilon guards a (theoretical) zero distance.
-            obs_weights = 1.0 / (batch["nn_dist"] + jnp.float32(1e-6))
+            # Cast to the compute dtype: f32 weights would promote the
+            # weighted obs_agg — and through the concat, the entire
+            # downstream query U-Net — to f32 under bf16 compute.
+            obs_weights = (1.0 / (batch["nn_dist"] + jnp.float32(1e-6))
+                           ).astype(self.compute_dtype)
         if nn_rgb.ndim == 5:
             # Multi-observation batch (N, K, H, W, C): the K
             # observations run FOLDED into the obs path's batch axis
@@ -367,8 +380,10 @@ class Model(BaseModel):
         small ones: bigger MXU matmuls, and the mesh's 'data' sharding
         parallelizes observations with no extra axis — the TPU-native
         form of SURVEY §7 M5's light/view-pair sharding). Identical
-        math either way (convs are per-example; the per-stage mean runs
-        over the unfolded K view).
+        math for per-example stages (convs; the per-stage mean runs
+        over the unfolded K view); BatchNorm is the exception — its
+        batch statistics would couple observations across the folded
+        axis, so norm=batch defaults to the unrolled path (__init__).
 
         obs_override: optional list with one entry per contracting stage
         (an (N, H, W, C) aggregated feature map) substituting obs_agg.

@@ -182,9 +182,22 @@ def main(argv=None):
     mesh = None
     if args.n_data != 1 and len(jax.devices()) > 1:
         from .parallel import mesh as mesh_mod
-        n_data = None if args.n_data < 0 else args.n_data
-        mesh = mesh_mod.make_mesh(
-            n_data=n_data, batch_size=config.get_int("bs"))
+        bs = config.get_int("bs")
+        n_data = None
+        if args.n_data > 0:
+            # An explicit non-divisor would silently replicate every
+            # batch (shard_batch's remainder path) — N-fold redundant
+            # compute with zero speedup. Clamp to the largest divisor
+            # of bs that fits the devices instead, loudly.
+            n_data = min(args.n_data, len(jax.devices()))
+            while n_data > 1 and bs % n_data != 0:
+                n_data -= 1
+            if n_data != args.n_data:
+                logger.warn(
+                    "--n_data %d does not divide bs %d (or exceeds "
+                    "the %d devices); using %d", args.n_data, bs,
+                    len(jax.devices()), n_data)
+        mesh = mesh_mod.make_mesh(n_data=n_data, batch_size=bs)
         logger.info("Inference mesh: %s over %d devices",
                     dict(mesh.shape), len(jax.devices()))
 

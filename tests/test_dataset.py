@@ -227,6 +227,67 @@ def test_obs_fold_matches_unrolled(scene_root):
                            preds[("inverse_distance", True)])
 
 
+def test_obs_weighting_respects_disk_cache_identity(scene_root):
+    """Enabling obs_weighting after a cache=disk run must NOT hit the
+    stale blobs written without nn_dist (the weighted run would
+    silently fall back to the flat mean): the knob is part of the
+    disk-cache identity (code-review r3 finding)."""
+    ds_plain = get_dataset_class("nlt")(
+        scene_config(scene_root, n_obs=2, cache="disk"), "train")
+    b_plain = next(iter(ds_plain.iterate(seed=0)))
+    assert "nn_dist" not in b_plain
+
+    ds_w = get_dataset_class("nlt")(
+        scene_config(scene_root, n_obs=2, cache="disk",
+                     obs_weighting="inverse_distance"), "train")
+    assert ds_w._disk_cache_dir != ds_plain._disk_cache_dir
+    b_w = next(iter(ds_w.iterate(seed=0)))
+    assert "nn_dist" in b_w and b_w["nn_dist"].shape == (2, 2)
+
+
+def test_obs_fold_default_off_for_batchnorm(scene_root):
+    """Folded BatchNorm would couple observations through the (N*K)
+    batch statistics, so norm=batch defaults to the unrolled path;
+    bf16 compute keeps the 1/d weights in the compute dtype (no silent
+    f32 promotion of the query U-Net)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nlt_tpu.models import get_model_class
+
+    m_bn = get_model_class("nlt")(
+        scene_config(scene_root, n_obs=2, norm="batch"))
+    assert m_bn.obs_fold is False
+    m_plain = get_model_class("nlt")(scene_config(scene_root, n_obs=2))
+    assert m_plain.obs_fold is True
+
+    # bf16 + weighting: obs_weights are cast to the compute dtype so
+    # the weighted aggregate (and the concat consuming it) stays bf16.
+    cfg = scene_config(scene_root, n_obs=2,
+                       obs_weighting="inverse_distance",
+                       compute_dtype="bfloat16")
+    ds = get_dataset_class("nlt")(cfg, "train")
+    model = get_model_class("nlt")(cfg)
+    batch = next(iter(ds.iterate(seed=0)))
+    arrays = {k: jnp.asarray(v) for k, v in batch.items()
+              if not isinstance(v, list)}
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    captured = {}
+    orig = model._apply_unet
+
+    def spy(net_params, x, obs_xs, obs_weights=None, obs_override=None):
+        captured["w_dtype"] = (None if obs_weights is None
+                               else obs_weights.dtype)
+        return orig(net_params, x, obs_xs, obs_weights=obs_weights,
+                    obs_override=obs_override)
+
+    model._apply_unet = spy
+    pred, *_ = model.apply(params, arrays, "train")
+    assert captured["w_dtype"] == jnp.bfloat16
+    assert np.all(np.isfinite(np.asarray(pred, np.float32)))
+
+
 def test_obs_weighting_inverse_distance(scene_root):
     """obs_weighting = inverse_distance: the dataset emits per-
     observation (cam, light) distances from the config JSON positions,

@@ -152,24 +152,29 @@ def test_two_process_training(tmp_path, scene_root):
         assert "Device example cache after epoch 1" in out
 
 
-def test_two_process_matches_single_process(tmp_path, scene_root):
-    """The 2-proc x 2-device run's epoch losses equal a single-process
-    run's: same global batches (seed-synchronized shuffle, per-host
-    slices), same mean gradient (psum over 'data'), same updates —
-    across 2 epochs so the device cache serves reshuffled epoch 2."""
+@pytest.mark.parametrize("local_devices", [1, 2])
+def test_two_process_matches_single_process(
+        tmp_path, scene_root, local_devices):
+    """The 2-process run's epoch losses equal a single-process run's:
+    same global batches (seed-synchronized shuffle, per-host slices),
+    same mean gradient (psum over 'data'), same updates — across 2
+    epochs so the device cache serves reshuffled epoch 2. Both
+    geometries: 1 device/process (real pod slices run one process per
+    host-chip pair — the production rig) and 2 devices/process (a host
+    owning several data rows, the round-2 bug geometry)."""
     base = _base_cfg(scene_root)
 
     # Single process.
     out1 = str(tmp_path / "out1")
     ini1 = str(tmp_path / "single.ini")
     Config(dict(base, outroot=out1, xname="single")).save(ini1)
-    _run_single(ini1)
+    _run_single(ini1, local_devices=local_devices)
 
     # Two processes.
     out2 = str(tmp_path / "out2")
     ini2 = str(tmp_path / "dual.ini")
     Config(dict(base, outroot=out2, xname="dual")).save(ini2)
-    _run_procs(ini2, 2)
+    _run_procs(ini2, 2, local_devices=local_devices)
 
     l1 = _losses_of(join(out1, "single"))
     l2 = _losses_of(join(out2, "dual"))
