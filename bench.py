@@ -221,7 +221,7 @@ def main():
             # counted; the sum can exceed HBM peak x time) — reported
             # as a workload-shape diagnostic only.
             rec["xla_bytes_accessed"] = round(cost16["bytes"])
-        if cost16["optimal_s"]:
+        if cost16["optimal_s"] > 0:  # negative/0 on some backends
             # XLA's own roofline estimate of the step's best case;
             # measured/optimal is the honest 'distance from the
             # compiler's roofline' ratio.
