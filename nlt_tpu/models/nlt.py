@@ -113,10 +113,14 @@ class Model(BaseModel):
             "Unknown obs_weighting %r" % self.obs_weighting)
         # n_obs > 1: fold the K observations into the obs path's batch
         # axis (one batched conv per stage; _apply_unet docstring).
-        # Defaults OFF for norm=batch: folded BatchNorm would compute
-        # batch statistics over the (N*K) axis, coupling observations
-        # — different training numerics from the per-observation loop.
-        self.obs_fold = config.get_bool("obs_fold", norm != "batch")
+        # MEASURED AND DEFAULTED OFF: at n_obs=3 512^2 bf16 the folded
+        # cached step ran 51.1 ms vs 46.7 unrolled on v5e (honest
+        # slope timing, tools/bench_obs_fold.py) — the batched-conv
+        # win loses to the fold's reshape/layout cost at flagship
+        # shapes. The knob remains for re-measurement at other shapes.
+        # Note: with norm=batch, folding also changes BN semantics
+        # (batch statistics over the N*K axis couple observations).
+        self.obs_fold = config.get_bool("obs_fold", False)
         if self.obs_fold and norm == "batch":
             logger.warn(
                 "obs_fold=True with norm=batch: the obs path's BN "

@@ -258,8 +258,13 @@ def test_obs_fold_default_off_for_batchnorm(scene_root):
     m_bn = get_model_class("nlt")(
         scene_config(scene_root, n_obs=2, norm="batch"))
     assert m_bn.obs_fold is False
+    # Default off everywhere (measured slower at flagship shapes —
+    # tools/bench_obs_fold.py); explicit opt-in works.
     m_plain = get_model_class("nlt")(scene_config(scene_root, n_obs=2))
-    assert m_plain.obs_fold is True
+    assert m_plain.obs_fold is False
+    m_fold = get_model_class("nlt")(
+        scene_config(scene_root, n_obs=2, obs_fold=True))
+    assert m_fold.obs_fold is True
 
     # bf16 + weighting: obs_weights are cast to the compute dtype so
     # the weighted aggregate (and the concat consuming it) stays bf16.
