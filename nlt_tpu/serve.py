@@ -22,6 +22,7 @@ CLI latency benchmark:
 """
 
 import argparse
+import json
 import time
 
 import jax
@@ -128,6 +129,7 @@ class Server:
                     out, linear_space=self.pack == "float16")
             return out
 
+        self._fwd = fwd
         self._predict = jax.jit(fwd)
         self._bs = bs
 
@@ -164,6 +166,52 @@ class Server:
             self._build(bs)
         out = self._predict(self.state["params"], arrays)
         return {k: np.asarray(v) for k, v in out.items()}
+
+    def export(self, path, batch):
+        """AOT-export the serving program to a self-contained artifact:
+        the jitted predict function with the checkpoint weights and the
+        precomputed observation pyramid baked in as constants,
+        serialized via jax.export (StableHLO). The artifact needs NO
+        model code, config, or checkpoint to serve — deploy it with
+        `ExportedServer(path)` on a host with plain jax installed (the
+        reference's only deployment story is re-running the full
+        nlt_test pipeline against a checkpoint; nlt/nlt_test.py).
+
+        batch: a sample request batch fixing the served shapes (XLA
+        programs are static-shape; export one artifact per batch size).
+        """
+        from jax import export as jax_export
+
+        arrays = {k: np.asarray(v) for k, v in batch.items()
+                  if not isinstance(v, list)}
+        bs = next(iter(arrays.values())).shape[0]
+        if self._predict is None or self._bs != bs:
+            self._build(bs)
+        params = self.state["params"]
+        fwd = self._fwd
+
+        specs = {k: jax.ShapeDtypeStruct(v.shape, v.dtype)
+                 for k, v in arrays.items()}
+        exported = jax_export.export(
+            jax.jit(lambda b: fwd(params, b)))(specs)
+        blob = exported.serialize()
+        header = json.dumps({
+            "format": "nlt_tpu.serve.export.v1",
+            "platforms": list(exported.platforms),
+            "bs": bs,
+            "pack": self.pack,
+            "fields": {k: [list(v.shape), str(v.dtype)]
+                       for k, v in arrays.items()},
+        }).encode("utf-8")
+        with open(path, "wb") as h:
+            h.write(len(header).to_bytes(8, "little"))
+            h.write(header)
+            h.write(blob)
+        logger.info(
+            "Exported serving program (bs=%d, platforms=%s, %.1f MB) "
+            "to\n\t%s", bs, ",".join(exported.platforms),
+            (len(header) + len(blob) + 8) / 1e6, path)
+        return path
 
     def benchmark(self, batch, n=20, ids=None):
         """Honest serving numbers: latency is per-request with outputs
@@ -207,6 +255,41 @@ class Server:
                 "fps": bs / dt}
 
 
+class ExportedServer:
+    """Serve from a `Server.export` artifact: weights and obs pyramid
+    are baked into the serialized program — no model code, config, or
+    checkpoint needed on the serving host."""
+
+    def __init__(self, path):
+        from jax import export as jax_export
+
+        with open(path, "rb") as h:
+            hlen = int.from_bytes(h.read(8), "little")
+            self.meta = json.loads(h.read(hlen).decode("utf-8"))
+            blob = h.read()
+        assert self.meta.get("format") == "nlt_tpu.serve.export.v1", (
+            "Not a serve-export artifact: %s" % path)
+        self._exp = jax_export.deserialize(blob)
+        backend = jax.default_backend()
+        if backend not in self._exp.platforms:
+            logger.warn(
+                "Artifact was exported for %s; current backend is %s",
+                self._exp.platforms, backend)
+
+    def predict(self, batch):
+        fields = self.meta["fields"]
+        arrays = {}
+        for k, (shape, dtype) in fields.items():
+            assert k in batch, "Request is missing field %r" % k
+            v = np.asarray(batch[k])
+            assert list(v.shape) == shape and str(v.dtype) == dtype, (
+                "Field %r: got %s %s, artifact expects %s %s"
+                % (k, v.shape, v.dtype, shape, dtype))
+            arrays[k] = v
+        out = self._exp.call(arrays)
+        return {k: np.asarray(v) for k, v in out.items()}
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--ckpt", type=str, required=True)
@@ -220,6 +303,10 @@ def main(argv=None):
     p.add_argument("--shard", action="store_true",
                    help="shard request batches over all devices "
                         "(throughput serving on a pod slice)")
+    p.add_argument("--export", type=str, default=None,
+                   help="write a self-contained AOT serving artifact "
+                        "(weights + obs pyramid baked in) to this "
+                        "path instead of benchmarking")
     args = p.parse_args(argv)
 
     server = Server(args.ckpt, step=args.step, pack=args.pack,
@@ -230,6 +317,8 @@ def main(argv=None):
     server.config.set("bs", args.bs)
     dataset = Dataset(server.config, "test")
     batch = next(iter(dataset.iterate(seed=0)))
+    if args.export:
+        return server.export(args.export, batch)
     stats = server.benchmark(batch)
     logger.info(
         "Serving benchmark (bs=%d, streamed): %.2f ms/request, "

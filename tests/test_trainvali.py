@@ -309,6 +309,35 @@ def test_serve_sharded_matches_unsharded(trained):
     assert stats["fps"] > 0
 
 
+def test_serve_export_roundtrip(trained, tmp_path):
+    """Server.export writes a self-contained AOT artifact (weights +
+    obs pyramid baked into the serialized StableHLO program);
+    ExportedServer serves it without model code/config/checkpoint,
+    matching the live server's predictions exactly."""
+    from nlt_tpu.serve import Server, ExportedServer
+    from nlt_tpu.datasets import get_dataset_class
+    _, _, outdir = trained
+    server = Server(join(outdir, "checkpoints"))
+    server.precompute_obs(n_obs_batches=1)
+    ds = get_dataset_class("nlt")(server.config, "test")
+    batch = next(iter(ds.iterate(seed=0)))
+    want = server.predict(batch)
+
+    path = str(tmp_path / "served.nltx")
+    server.export(path, batch)
+    loaded = ExportedServer(path)
+    got = loaded.predict(batch)
+    assert set(got) == set(want)
+    for k in want:
+        np.testing.assert_array_equal(got[k], want[k], err_msg=k)
+
+    # Shape mismatch is a loud error, not a silent recompile.
+    bad = {k: (v[:1] if not isinstance(v, list) else v)
+           for k, v in batch.items()}
+    with pytest.raises(AssertionError):
+        loaded.predict(bad)
+
+
 def test_trainvali_capped_static_cache_losses_equal(tmp_path, scene_root):
     """A capacity-capped GT-feature cache (some examples cached, some
     re-extracted each step) must train to the same losses as the
