@@ -87,6 +87,7 @@ def main():
     p.add_argument("--bs", type=int, default=4)
     p.add_argument("--coverage", type=float, default=1.0)
     p.add_argument("--loss", type=str, default="barron,1e+0lpips")
+    p.add_argument("--dtype", type=str, default="float32")
     p.add_argument("--steps", type=int, default=5)
     p.add_argument("--tracedir", type=str, default="/tmp/nlt_tpu_profile")
     p.add_argument("--keep", action="store_true",
@@ -103,7 +104,7 @@ def main():
 
     _enable_compile_cache()
     model = _make_model(args.res, args.res, args.depth, args.bs,
-                        loss=args.loss)
+                        loss=args.loss, compute_dtype=args.dtype)
     tx = train_mod.make_optimizer(1e-3)
     state = train_mod.init_state(model, tx, jax.random.PRNGKey(0))
     step = train_mod.make_train_step(model, tx, with_vis=False,
