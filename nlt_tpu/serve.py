@@ -192,8 +192,20 @@ class Server:
 
         specs = {k: jax.ShapeDtypeStruct(v.shape, v.dtype)
                  for k, v in arrays.items()}
-        exported = jax_export.export(
-            jax.jit(lambda b: fwd(params, b)))(specs)
+        # Multi-platform lowering: export once (on any dev box),
+        # serve on CPU or TPU. Pallas custom calls would block the
+        # cross-platform path, but the inference program has none
+        # (the Pallas scatter lives only in the training VJP).
+        try:
+            exported = jax_export.export(
+                jax.jit(lambda b: fwd(params, b)),
+                platforms=["cpu", "tpu"])(specs)
+        except Exception as e:
+            logger.warn(
+                "Multi-platform export failed (%s); exporting for the "
+                "current backend only", str(e)[:200])
+            exported = jax_export.export(
+                jax.jit(lambda b: fwd(params, b)))(specs)
         blob = exported.serialize()
         header = json.dumps({
             "format": "nlt_tpu.serve.export.v1",
