@@ -54,6 +54,13 @@ parser.add_argument("--uvs", type=int, default=128)
 parser.add_argument("--sss", action="store_true",
                     help="wrap-lighting 'subsurface' shading instead of "
                          "specular Blinn-Phong")
+parser.add_argument("--material_blobs", action="store_true",
+                    help="hidden spatially-varying specular material "
+                         "(random smooth roughness/intensity blobs, "
+                         "independent of the albedo): the residual is "
+                         "then NOT predictable from the diffuse base "
+                         "alone, so the observation path carries real "
+                         "signal (use_obs / n_obs A/Bs)")
 parser.add_argument("--identity_uv", action="store_true",
                     help="fixed-view relighting setup: treat camera-space "
                          "images as UV-unwrapped ones with an identity "
@@ -108,6 +115,28 @@ def albedo_texture(u, v):
     return np.clip(np.stack([r, g, b], axis=-1), 0.05, 0.95)
 
 
+# Hidden material map: a fixed sum of smooth bumps over (u, v)
+# (u periodic), INDEPENDENT of the albedo texture, so nothing in the
+# query inputs (base, cvis, lvis) reveals it — only neighbor
+# observations do. Deterministic (fixed seed) per scene.
+_MATERIAL_BLOBS = False
+
+
+def material_map(u, v, k=8):
+    rng = np.random.RandomState(1234)
+    cu = rng.uniform(0, 1, k)
+    cv = rng.uniform(0.1, 0.9, k)
+    w = rng.uniform(0.05, 0.15, k)
+    amp = rng.uniform(0.5, 1.0, k)
+    m = np.zeros(np.shape(u), np.float64)
+    for i in range(k):
+        du = np.abs(u - cu[i])
+        du = np.minimum(du, 1 - du)  # periodic longitude
+        dv = v - cv[i]
+        m = m + amp[i] * np.exp(-(du ** 2 + dv ** 2) / (2 * w[i] ** 2))
+    return np.clip(m / m.max() if np.ndim(m) and m.size else m, 0, 1)
+
+
 def shade(p, n, cam_pos, light_pos, sss=False):
     """Full light transport at surface points p with normals n.
 
@@ -136,7 +165,14 @@ def shade(p, n, cam_pos, light_pos, sss=False):
         diff = alb * lvis[..., None]
         h = normalize(l_dir + v_dir)
         ndh = np.clip(np.sum(n * h, axis=-1), 0, 1)
-        spec = 0.6 * (ndh ** 64) * (lvis > 0)
+        if _MATERIAL_BLOBS:
+            m = material_map(u, v)
+            # Roughness/intensity vary with the hidden map: shiny
+            # narrow highlights in the blobs, broad dull ones outside.
+            expo = 8.0 + 120.0 * m
+            spec = (0.15 + 0.85 * m) * (ndh ** expo) * (lvis > 0)
+        else:
+            spec = 0.6 * (ndh ** 64) * (lvis > 0)
         rgb = diff + spec[..., None]
     return np.clip(rgb, 0, 1), lvis, cvis
 
@@ -344,6 +380,8 @@ def main(args):
         jobs.append((id_, cam, light, nn))
 
     for id_, cam, light, nn in jobs:
+        global _MATERIAL_BLOBS
+        _MATERIAL_BLOBS = args.material_blobs
         buffers = render_config(cam, light, args.imh, args.uvs, args.sss)
         if args.identity_uv:
             buffers = make_identity_uv(buffers, args.imh)
