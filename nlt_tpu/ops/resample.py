@@ -30,6 +30,12 @@ see tools/bench_step.py):
   transpose (flat row scatter-add) ~4 ms per 1M rows. Windowed
   gathers/scatters (slice_sizes=(2,2,C)) are catastrophically slower
   (~0.5-1 s) — per-index DMA lowering.
+- Four flat per-corner takes of C-wide (12 B) rows — the batch-folded
+  form of the naive formulation, distinct from its catastrophic
+  vmapped version — were measured standalone (tools/bench_take_width
+  .py): 4x4.4 ns/row = 17.3 ns/row total vs the single 4C-row take's
+  6.3 — gather cost is per-ROW, not per-byte, so one wide take beats
+  four narrow ones ~2.7x. The window table stands.
 - So the production formulation below does ONE flat `take` per call:
   build a "window table" T[i] = the 2x2 neighborhood at flat index i
   (4C channels, built with cheap dense shifts), flatten the batch into
