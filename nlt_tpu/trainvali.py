@@ -269,6 +269,36 @@ def main(argv=None):
     manager = ckpt_mod.CheckpointManager(ckptdir, max_to_keep=keep_recent)
     state, epoch_restored = manager.restore(state)
 
+    # Warm start / fine-tuning: `init_from = <other outdir>/checkpoints`
+    # seeds the PARAMS (incl. loss latents and EMA) from another run's
+    # checkpoint when this run has none of its own. The convnet is
+    # resolution-agnostic (k=s=2 stages at any uvh), so a low-res run
+    # can seed a high-res one (progressive training) and a trained
+    # scene can seed a new scene. The optimizer state and epoch
+    # counter start fresh — it is a new run, not a resume.
+    init_from = config.get("init_from", "")
+    if init_from and epoch_restored == 0:
+        src = ckpt_mod.CheckpointManager(init_from)
+        try:
+            seeded, src_step = src.restore(state)
+        except Exception as e:
+            raise ValueError(
+                "init_from checkpoint at %s does not match this run's "
+                "state structure (network hyperparameters, loss "
+                "latents, ema_decay, and optimizer must agree; "
+                "resolution/scene/lr may differ): %s"
+                % (init_from, e)) from e
+        finally:
+            src.close()
+        assert src_step > 0, (
+            "init_from has no checkpoint: %s" % init_from)
+        state = dict(state, params=seeded["params"],
+                     **({"ema": seeded["ema"]} if "ema" in seeded
+                        and "ema" in state else {}))
+        state = jax.device_put(state, mesh_mod.replicated(mesh))
+        logger.info("Warm-started params from %s (step %d)",
+                    init_from, src_step)
+
     # nan_guard=True keeps params/opt_state unchanged on any step whose
     # loss or gradients are non-finite (the loss still reaches the
     # scalar logs) — failure detection the reference lacks (SURVEY §5).

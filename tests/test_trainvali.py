@@ -309,6 +309,39 @@ def test_serve_sharded_matches_unsharded(trained):
     assert stats["fps"] > 0
 
 
+def test_init_from_warm_start(trained, tmp_path, scene_root):
+    """init_from seeds params from another run's checkpoint — across a
+    RESOLUTION change (the convnet is resolution-agnostic), with a
+    fresh optimizer/epoch counter — and trains from a better start
+    than a cold init."""
+    from nlt_tpu import trainvali
+    _, _, src_outdir = trained
+
+    losses = {}
+    for tag, extra in (
+            ("cold", {}),
+            ("warm", {"init_from": join(src_outdir, "checkpoints")})):
+        d = tmp_path / tag
+        d.mkdir()
+        ini = write_ini(d, scene_root, imh=64, imw=64, uvh=64, uvw=64,
+                        epochs=1, vali_period=-1, vali_batches=0,
+                        vis_train_batches=0, **extra)
+        outdir = trainvali.main(["--config", ini])
+        scalars = join(outdir, "summary_train", "scalars.jsonl")
+        losses[tag] = [json.loads(l)["value"] for l in open(scalars)
+                       if json.loads(l)["tag"] == "loss_train"][0]
+    assert losses["warm"] < losses["cold"], losses
+
+    # A missing source checkpoint fails loudly.
+    d = tmp_path / "bad"
+    d.mkdir()
+    ini = write_ini(d, scene_root, epochs=1, vali_period=-1,
+                    vali_batches=0, vis_train_batches=0,
+                    init_from=str(tmp_path / "nonexistent"))
+    with pytest.raises(Exception):
+        trainvali.main(["--config", ini])
+
+
 def test_serve_export_roundtrip(trained, tmp_path):
     """Server.export writes a self-contained AOT artifact (weights +
     obs pyramid baked into the serialized StableHLO program);
