@@ -497,6 +497,30 @@ def main(argv=None):
         if fut is not None:
             yield fut.result()
 
+    # Preemption-safe shutdown: TPU pod workers get SIGTERM with a
+    # short grace window. On the first SIGTERM the driver finishes the
+    # in-flight batch, checkpoints, and exits cleanly (resume replays
+    # the interrupted epoch from the saved — fresher — params); a
+    # second SIGTERM falls through to the default handler. Multi-host:
+    # every process receives the signal at the same batch index (data
+    # iteration is seed-synchronized), so the collective Orbax save
+    # lines up. The reference has no preemption story.
+    import signal
+
+    preempt = {"flag": False}
+
+    def _on_sigterm(signum, frame):
+        logger.warn(
+            "SIGTERM: will checkpoint after the in-flight batch and "
+            "exit (send again to kill)")
+        preempt["flag"] = True
+        signal.signal(signal.SIGTERM, signal.SIG_DFL)
+
+    try:
+        signal.signal(signal.SIGTERM, _on_sigterm)
+    except ValueError:
+        pass  # non-main thread (embedded use): no handler
+
     for epoch_i in range(epoch_restored, epochs):
         # ---- train over all batches ----
         batch_loss, batch_vis, batch_time = [], [], []
@@ -571,6 +595,15 @@ def main(argv=None):
                     and (epoch_i + 1) % ckpt_period == 0
                     and not is_multiprocess):
                 batch_vis.append(fetch_vis(to_vis, meta))
+            if preempt["flag"]:
+                jax.block_until_ready(loss)
+                saved = manager.save(epoch_i, state, force=True)
+                manager.wait()
+                manager.close()
+                logger.warn(
+                    "Preempted at epoch %d batch %d; checkpointed "
+                    "to\n\t%s", epoch_i + 1, batch_i, saved)
+                return outdir
             if args.debug:
                 logger.warn("Debug mode: Skipping the rest of this epoch")
                 break

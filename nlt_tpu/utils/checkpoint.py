@@ -25,8 +25,12 @@ class CheckpointManager:
             ckptdir,
             options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep))
 
-    def save(self, step, state):
-        self._mgr.save(int(step), args=ocp.args.StandardSave(state))
+    def save(self, step, state, force=False):
+        """force=True overwrites an existing step (the preemption save
+        lands on the last completed epoch, which may already have a
+        periodic checkpoint)."""
+        self._mgr.save(int(step), args=ocp.args.StandardSave(state),
+                       force=force)
         return self._mgr.directory / str(int(step))
 
     def wait(self):

@@ -309,6 +309,60 @@ def test_serve_sharded_matches_unsharded(trained):
     assert stats["fps"] > 0
 
 
+def test_sigterm_checkpoints_and_resumes(tmp_path, scene_root):
+    """Preemption safety: SIGTERM mid-training checkpoints after the
+    in-flight batch and exits 0; a rerun resumes from the saved state
+    and completes (TPU pod workers are preempted with a short grace
+    window — the reference has no preemption story)."""
+    import signal
+    import subprocess
+    import time as time_mod
+
+    ini = write_ini(tmp_path, scene_root, epochs=100000,
+                    ckpt_period=10 ** 6,
+                    vali_period=-1, vali_batches=0,
+                    vis_train_batches=0)
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=1")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "nlt_tpu.trainvali", "--config", ini,
+         "--device", "cpu"],
+        env=env, cwd=REPO, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True)
+    outdir = join(str(tmp_path / "out"), "sphere_lr:1e-3_depth:16")
+    # Wait for training to be demonstrably underway (first scalars
+    # would need ckpt_period; use the summary dir mtime instead).
+    t0 = time_mod.time()
+    while time_mod.time() - t0 < 300:
+        if os.path.isdir(join(outdir, "checkpoints")):
+            time_mod.sleep(3)  # a few batches into some epoch
+            break
+        time_mod.sleep(0.5)
+    proc.send_signal(signal.SIGTERM)
+    out, _ = proc.communicate(timeout=300)
+    assert proc.returncode == 0, out[-3000:]
+    assert "Preempted at epoch" in out, out[-3000:]
+    assert glob(join(outdir, "checkpoints", "*")), "no checkpoint saved"
+
+    # Resume: finish a small number of additional epochs cleanly.
+    cfg = Config.from_ini(ini)
+    from nlt_tpu.utils.checkpoint import CheckpointManager
+    mgr = CheckpointManager(join(outdir, "checkpoints"))
+    saved_step = mgr.latest_step()
+    mgr.close()
+    cfg.set("epochs", saved_step + 2)
+    cfg.set("overwrite", False)
+    ini2 = str(tmp_path / "resume.ini")
+    cfg.save(ini2)
+    subprocess.run(
+        [sys.executable, "-m", "nlt_tpu.trainvali", "--config", ini2,
+         "--device", "cpu"],
+        env=env, cwd=REPO, check=True, capture_output=True, timeout=600)
+    mgr = CheckpointManager(join(outdir, "checkpoints"))
+    assert mgr.latest_step() >= saved_step
+    mgr.close()
+
+
 def test_init_from_warm_start(trained, tmp_path, scene_root):
     """init_from seeds params from another run's checkpoint — across a
     RESOLUTION change (the convnet is resolution-agnostic), with a
