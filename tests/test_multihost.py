@@ -233,6 +233,36 @@ def test_two_process_tile_sharded_matches_single(
     np.testing.assert_allclose(l1, l2, rtol=1e-5)
 
 
+def test_multiscene_multihost_tile_sharded(tmp_path_factory, tmp_path,
+                                           scene_root):
+    """BASELINE.json's last workload verbatim: MULTI-SCENE (two data
+    roots, scene-namespaced ids) x MULTI-HOST (2 procs x 2 devices) x
+    TEXEL-TILE-SHARDED (n_tile=2) training, losses equal to the
+    single-process run."""
+    root2 = str(tmp_path_factory.mktemp("scene_mh2") / "cube")
+    subprocess.run(
+        [sys.executable, join(REPO, "data_gen", "synthesize.py"),
+         "--outroot", root2, "--n_cams", "3", "--n_lights", "3",
+         "--n_test", "1", "--imh", "32", "--uvs", "32", "--seed", "5"],
+        check=True, capture_output=True)
+    base = _base_cfg(scene_root, epochs=1,
+                     data_root="%s,%s" % (scene_root, root2))
+
+    out1 = str(tmp_path / "single")
+    ini1 = str(tmp_path / "single.ini")
+    Config(dict(base, outroot=out1, xname="x")).save(ini1)
+    _run_single(ini1)
+
+    out2 = str(tmp_path / "multi")
+    ini2 = str(tmp_path / "multi.ini")
+    Config(dict(base, outroot=out2, xname="x")).save(ini2)
+    _run_procs(ini2, 2, extra_args=("--n_tile", "2"))
+
+    l1, l2 = _losses_of(join(out1, "x")), _losses_of(join(out2, "x"))
+    assert len(l1) == len(l2) >= 1
+    np.testing.assert_allclose(l1, l2, rtol=1e-5)
+
+
 def test_two_process_cached_statics_matches_uncached(tmp_path, scene_root):
     """cache_static under multi-host, 2 devices per process: per-host
     local extraction + caches, global statics assembly — losses equal
