@@ -122,7 +122,10 @@ def albedo_texture(u, v):
 _MATERIAL_BLOBS = False
 
 
-def material_map(u, v, k=8):
+_MATERIAL_NORM = None  # fixed global peak (set on first use)
+
+
+def _material_raw(u, v, k=8):
     rng = np.random.RandomState(1234)
     cu = rng.uniform(0, 1, k)
     cv = rng.uniform(0.1, 0.9, k)
@@ -134,7 +137,20 @@ def material_map(u, v, k=8):
         du = np.minimum(du, 1 - du)  # periodic longitude
         dv = v - cv[i]
         m = m + amp[i] * np.exp(-(du ** 2 + dv ** 2) / (2 * w[i] ** 2))
-    return np.clip(m / m.max() if np.ndim(m) and m.size else m, 0, 1)
+    return m
+
+
+def material_map(u, v):
+    """Normalized by a FIXED global peak (dense-grid evaluation, once):
+    a per-call max would rescale the 'fixed' material differently for
+    the camera-space and UV-space shading passes of the same render,
+    making the supervision pair physically inconsistent."""
+    global _MATERIAL_NORM
+    if _MATERIAL_NORM is None:
+        gu, gv = np.meshgrid(np.linspace(0, 1, 512),
+                             np.linspace(0, 1, 512))
+        _MATERIAL_NORM = float(_material_raw(gu, gv).max())
+    return np.clip(_material_raw(u, v) / _MATERIAL_NORM, 0, 1)
 
 
 def shade(p, n, cam_pos, light_pos, sss=False):
@@ -379,9 +395,9 @@ def main(args):
         }
         jobs.append((id_, cam, light, nn))
 
+    global _MATERIAL_BLOBS
+    _MATERIAL_BLOBS = args.material_blobs
     for id_, cam, light, nn in jobs:
-        global _MATERIAL_BLOBS
-        _MATERIAL_BLOBS = args.material_blobs
         buffers = render_config(cam, light, args.imh, args.uvs, args.sss)
         if args.identity_uv:
             buffers = make_identity_uv(buffers, args.imh)

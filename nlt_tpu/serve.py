@@ -182,6 +182,14 @@ class Server:
         """
         from jax import export as jax_export
 
+        if self.shard:
+            # Sharded _build commits params/override to a multi-device
+            # mesh; baking that topology into the artifact would tie
+            # it to this host's device count. Export from an unsharded
+            # server (the artifact is single-device by design).
+            raise ValueError(
+                "export() requires an unsharded server; construct "
+                "Server(..., shard=False) for export")
         arrays = {k: np.asarray(v) for k, v in batch.items()
                   if not isinstance(v, list)}
         bs = next(iter(arrays.values())).shape[0]

@@ -187,6 +187,34 @@ def main(argv=None):
     is_multiprocess = jax.process_count() > 1
 
     config_ini = resolve_config_path(args.config)
+
+    # Preemption-safe shutdown: TPU pod workers get SIGTERM with a
+    # short grace window. On the first SIGTERM the driver finishes the
+    # in-flight batch, checkpoints, and exits cleanly (resume replays
+    # the interrupted epoch from the saved — fresher — params); a
+    # second SIGTERM falls through to the default handler. Installed
+    # EARLY so a signal during setup is also caught (the first batch
+    # then saves and exits). Multi-host: signal delivery is
+    # asynchronous, so the per-batch exit decision is agreed across
+    # processes with a tiny allgather (a one-batch skew would
+    # deadlock the collective save). The reference has no preemption
+    # story.
+    import signal
+
+    preempt = {"flag": False}
+
+    def _on_sigterm(signum, frame):
+        logger.warn(
+            "SIGTERM: will checkpoint after the in-flight batch and "
+            "exit (send again to kill)")
+        preempt["flag"] = True
+        signal.signal(signal.SIGTERM, signal.SIG_DFL)
+
+    try:
+        signal.signal(signal.SIGTERM, _on_sigterm)
+    except ValueError:
+        pass  # non-main thread (embedded use): no handler
+
     config = config_mod.read_config(config_ini)
 
     # Output directory from the xname template
@@ -277,10 +305,24 @@ def main(argv=None):
     # scene can seed a new scene. The optimizer state and epoch
     # counter start fresh — it is a new run, not a resume.
     init_from = config.get("init_from", "")
-    if init_from and epoch_restored == 0:
+    # Gate on "this run has NO checkpoint" via latest_step, not the
+    # restored epoch number: a preemption save during epoch 0 lands at
+    # step 0, and epoch_restored == 0 would mistake it for a fresh run
+    # and silently overwrite the preempted params with init_from's.
+    if init_from and manager.latest_step() is None:
+        if not os.path.isdir(init_from):
+            # Check BEFORE constructing a manager: Orbax eagerly mkdirs
+            # the path, so a typo would leave a spurious empty
+            # checkpoint tree behind.
+            raise FileNotFoundError(
+                "init_from checkpoint dir not found: %s" % init_from)
         src = ckpt_mod.CheckpointManager(init_from)
         try:
+            assert src.latest_step() is not None, (
+                "init_from has no checkpoint: %s" % init_from)
             seeded, src_step = src.restore(state)
+        except AssertionError:
+            raise
         except Exception as e:
             raise ValueError(
                 "init_from checkpoint at %s does not match this run's "
@@ -290,8 +332,6 @@ def main(argv=None):
                 % (init_from, e)) from e
         finally:
             src.close()
-        assert src_step > 0, (
-            "init_from has no checkpoint: %s" % init_from)
         state = dict(state, params=seeded["params"],
                      **({"ema": seeded["ema"]} if "ema" in seeded
                         and "ema" in state else {}))
@@ -497,30 +537,6 @@ def main(argv=None):
         if fut is not None:
             yield fut.result()
 
-    # Preemption-safe shutdown: TPU pod workers get SIGTERM with a
-    # short grace window. On the first SIGTERM the driver finishes the
-    # in-flight batch, checkpoints, and exits cleanly (resume replays
-    # the interrupted epoch from the saved — fresher — params); a
-    # second SIGTERM falls through to the default handler. Multi-host:
-    # every process receives the signal at the same batch index (data
-    # iteration is seed-synchronized), so the collective Orbax save
-    # lines up. The reference has no preemption story.
-    import signal
-
-    preempt = {"flag": False}
-
-    def _on_sigterm(signum, frame):
-        logger.warn(
-            "SIGTERM: will checkpoint after the in-flight batch and "
-            "exit (send again to kill)")
-        preempt["flag"] = True
-        signal.signal(signal.SIGTERM, signal.SIG_DFL)
-
-    try:
-        signal.signal(signal.SIGTERM, _on_sigterm)
-    except ValueError:
-        pass  # non-main thread (embedded use): no handler
-
     for epoch_i in range(epoch_restored, epochs):
         # ---- train over all batches ----
         batch_loss, batch_vis, batch_time = [], [], []
@@ -595,8 +611,17 @@ def main(argv=None):
                     and (epoch_i + 1) % ckpt_period == 0
                     and not is_multiprocess):
                 batch_vis.append(fetch_vis(to_vis, meta))
-            if preempt["flag"]:
-                jax.block_until_ready(loss)
+            stop = preempt["flag"]
+            if is_multiprocess:
+                # Agree across hosts EVERY batch: all processes reach
+                # this allgather at the same batch index, so they all
+                # observe the flag together even when the signal lands
+                # between two hosts' checks.
+                from jax.experimental import multihost_utils
+                stop = bool(np.max(multihost_utils.process_allgather(
+                    np.asarray([stop], np.int32))))
+            if stop:
+                float(loss)  # realize the in-flight step (honest sync)
                 saved = manager.save(epoch_i, state, force=True)
                 manager.wait()
                 manager.close()

@@ -233,6 +233,45 @@ def test_two_process_tile_sharded_matches_single(
     np.testing.assert_allclose(l1, l2, rtol=1e-5)
 
 
+def test_sigterm_one_process_preempts_both(tmp_path, scene_root):
+    """Preemption agreement: SIGTERM delivered to ONE process only —
+    the per-batch allgather spreads the flag, so BOTH processes
+    checkpoint collectively and exit 0 (asynchronous signal delivery
+    must not deadlock the collective save)."""
+    import signal
+    import time as time_mod
+
+    outroot = str(tmp_path / "out")
+    cfg = _base_cfg(scene_root, epochs=100000, ckpt_period=10 ** 6,
+                    outroot=outroot, xname="x")
+    ini = str(tmp_path / "pre.ini")
+    Config(cfg).save(ini)
+
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "nlt_tpu.trainvali",
+             "--config", ini, "--device", "cpu",
+             "--coordinator_address", "127.0.0.1:%d" % port,
+             "--num_processes", "2", "--process_id", str(i)],
+            env=_mp_env(), cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for i in range(2)
+    ]
+    ckdir = join(outroot, "x", "checkpoints")
+    t0 = time_mod.time()
+    while time_mod.time() - t0 < 300 and not os.path.isdir(ckdir):
+        time_mod.sleep(0.5)
+    time_mod.sleep(8)  # training underway on both processes
+    procs[0].send_signal(signal.SIGTERM)
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, (
+            "process %d rc=%s:\n%s" % (i, p.returncode, out[-3000:]))
+        assert "Preempted at epoch" in out, (i, out[-3000:])
+    assert glob(join(ckdir, "*")), "no collective checkpoint saved"
+
+
 def test_multiscene_multihost_tile_sharded(tmp_path_factory, tmp_path,
                                            scene_root):
     """BASELINE.json's last workload verbatim: MULTI-SCENE (two data

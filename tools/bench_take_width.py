@@ -57,13 +57,13 @@ def main():
 
         return slope_time(run_n, n1=5, n2=25, reps=3)
 
-    dt48 = timed(lambda t: jnp.sum(jnp.take(t, idx, axis=0)[:, :1]),
-                 t48)
-    dt12 = timed(lambda t: jnp.sum(jnp.take(t, idx, axis=0)[:, :1]),
-                 t12)
+    # Reduce over EVERY gathered column: a [:, :1] slice would let
+    # XLA sink the slice into the gather's slice_sizes and shrink the
+    # wide take to a narrow one, invalidating the comparison.
+    dt48 = timed(lambda t: jnp.sum(jnp.take(t, idx, axis=0)), t48)
+    dt12 = timed(lambda t: jnp.sum(jnp.take(t, idx, axis=0)), t12)
     dt12x4 = timed(
-        lambda t: sum(
-            jnp.sum(jnp.take(t, i, axis=0)[:, :1]) for i in idx4),
+        lambda t: sum(jnp.sum(jnp.take(t, i, axis=0)) for i in idx4),
         t12)
     r = args.rows
     print("rows=%d  48B-row take: %.3f ms (%.2f ns/row)" % (
