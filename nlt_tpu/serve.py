@@ -167,7 +167,7 @@ class Server:
         out = self._predict(self.state["params"], arrays)
         return {k: np.asarray(v) for k, v in out.items()}
 
-    def export(self, path, batch):
+    def export(self, path, batch, bs_list=None):
         """AOT-export the serving program to a self-contained artifact:
         the jitted predict function with the checkpoint weights and the
         precomputed observation pyramid baked in as constants,
@@ -177,8 +177,13 @@ class Server:
         reference's only deployment story is re-running the full
         nlt_test pipeline against a checkpoint; nlt/nlt_test.py).
 
-        batch: a sample request batch fixing the served shapes (XLA
-        programs are static-shape; export one artifact per batch size).
+        batch: a sample request batch fixing the served field shapes
+        (XLA programs are static-shape).
+        bs_list: batch sizes to bundle — one program each, sharing the
+        baked-in weights' serialized copies. A server that takes both
+        bs-1 interactive queries and bs-N sweep requests deploys ONE
+        artifact; ExportedServer dispatches on the request's leading
+        dim. Default: just the sample batch's size.
         """
         from jax import export as jax_export
 
@@ -192,45 +197,59 @@ class Server:
                 "Server(..., shard=False) for export")
         arrays = {k: np.asarray(v) for k, v in batch.items()
                   if not isinstance(v, list)}
-        bs = next(iter(arrays.values())).shape[0]
-        if self._predict is None or self._bs != bs:
-            self._build(bs)
-        params = self.state["params"]
-        fwd = self._fwd
+        bs0 = next(iter(arrays.values())).shape[0]
+        bs_list = sorted(set(bs_list)) if bs_list else [bs0]
 
-        specs = {k: jax.ShapeDtypeStruct(v.shape, v.dtype)
-                 for k, v in arrays.items()}
-        # Multi-platform lowering: export once (on any dev box),
-        # serve on CPU or TPU. Pallas custom calls would block the
-        # cross-platform path, but the inference program has none
-        # (the Pallas scatter lives only in the training VJP).
-        try:
-            exported = jax_export.export(
-                jax.jit(lambda b: fwd(params, b)),
-                platforms=["cpu", "tpu"])(specs)
-        except Exception as e:
-            logger.warn(
-                "Multi-platform export failed (%s); exporting for the "
-                "current backend only", str(e)[:200])
-            exported = jax_export.export(
-                jax.jit(lambda b: fwd(params, b)))(specs)
-        blob = exported.serialize()
+        programs, blobs = [], []
+        for bs in bs_list:
+            assert bs >= 1, bs
+            arrs = {k: np.concatenate([v] * (-(-bs // v.shape[0])))[:bs]
+                    for k, v in arrays.items()}
+            if self._predict is None or self._bs != bs:
+                self._build(bs)
+            params = self.state["params"]
+            fwd = self._fwd
+            specs = {k: jax.ShapeDtypeStruct(v.shape, v.dtype)
+                     for k, v in arrs.items()}
+            # Multi-platform lowering: export once (on any dev box),
+            # serve on CPU or TPU. Pallas custom calls would block the
+            # cross-platform path, but the inference program has none
+            # (the Pallas scatter lives only in the training VJP).
+            try:
+                exported = jax_export.export(
+                    jax.jit(lambda b: fwd(params, b)),
+                    platforms=["cpu", "tpu"])(specs)
+            except Exception as e:
+                logger.warn(
+                    "Multi-platform export failed (%s); exporting for "
+                    "the current backend only", str(e)[:200])
+                exported = jax_export.export(
+                    jax.jit(lambda b: fwd(params, b)))(specs)
+            blob = exported.serialize()
+            programs.append({
+                "bs": bs,
+                "platforms": list(exported.platforms),
+                "fields": {k: [list(v.shape), str(v.dtype)]
+                           for k, v in arrs.items()},
+                "size": len(blob),
+            })
+            blobs.append(blob)
+
         header = json.dumps({
-            "format": "nlt_tpu.serve.export.v1",
-            "platforms": list(exported.platforms),
-            "bs": bs,
+            "format": "nlt_tpu.serve.export.v2",
             "pack": self.pack,
-            "fields": {k: [list(v.shape), str(v.dtype)]
-                       for k, v in arrays.items()},
+            "programs": programs,
         }).encode("utf-8")
         with open(path, "wb") as h:
             h.write(len(header).to_bytes(8, "little"))
             h.write(header)
-            h.write(blob)
+            for blob in blobs:
+                h.write(blob)
+        total = len(header) + sum(len(b) for b in blobs) + 8
         logger.info(
-            "Exported serving program (bs=%d, platforms=%s, %.1f MB) "
-            "to\n\t%s", bs, ",".join(exported.platforms),
-            (len(header) + len(blob) + 8) / 1e6, path)
+            "Exported serving bundle (bs=%s, platforms=%s, %.1f MB) "
+            "to\n\t%s", ",".join(str(p["bs"]) for p in programs),
+            ",".join(programs[0]["platforms"]), total / 1e6, path)
         return path
 
     def benchmark(self, batch, n=20, ids=None):
@@ -277,8 +296,10 @@ class Server:
 
 class ExportedServer:
     """Serve from a `Server.export` artifact: weights and obs pyramid
-    are baked into the serialized program — no model code, config, or
-    checkpoint needed on the serving host."""
+    are baked into the serialized program(s) — no model code, config,
+    or checkpoint needed on the serving host. v2 bundles hold one
+    program per batch size; predict() dispatches on the request's
+    leading dim (v1 single-program artifacts still load)."""
 
     def __init__(self, path):
         from jax import export as jax_export
@@ -287,17 +308,42 @@ class ExportedServer:
             hlen = int.from_bytes(h.read(8), "little")
             self.meta = json.loads(h.read(hlen).decode("utf-8"))
             blob = h.read()
-        assert self.meta.get("format") == "nlt_tpu.serve.export.v1", (
-            "Not a serve-export artifact: %s" % path)
-        self._exp = jax_export.deserialize(blob)
+        fmt = self.meta.get("format")
+        self._programs = {}  # bs -> (fields, Exported)
+        if fmt == "nlt_tpu.serve.export.v1":
+            exp = jax_export.deserialize(blob)
+            self._programs[int(self.meta["bs"])] = (
+                self.meta["fields"], exp)
+            platforms = exp.platforms
+        elif fmt == "nlt_tpu.serve.export.v2":
+            off = 0
+            for prog in self.meta["programs"]:
+                exp = jax_export.deserialize(
+                    blob[off:off + prog["size"]])
+                off += prog["size"]
+                self._programs[int(prog["bs"])] = (prog["fields"], exp)
+            platforms = exp.platforms
+        else:
+            raise AssertionError(
+                "Not a serve-export artifact: %s" % path)
         backend = jax.default_backend()
-        if backend not in self._exp.platforms:
+        if backend not in platforms:
             logger.warn(
                 "Artifact was exported for %s; current backend is %s",
-                self._exp.platforms, backend)
+                platforms, backend)
+
+    @property
+    def batch_sizes(self):
+        return sorted(self._programs)
 
     def predict(self, batch):
-        fields = self.meta["fields"]
+        probe = next(np.asarray(v) for k, v in batch.items()
+                     if not isinstance(v, list))
+        bs = probe.shape[0]
+        assert bs in self._programs, (
+            "No bundled program for batch size %d (artifact serves "
+            "%s)" % (bs, self.batch_sizes))
+        fields, exp = self._programs[bs]
         arrays = {}
         for k, (shape, dtype) in fields.items():
             assert k in batch, "Request is missing field %r" % k
@@ -306,7 +352,7 @@ class ExportedServer:
                 "Field %r: got %s %s, artifact expects %s %s"
                 % (k, v.shape, v.dtype, shape, dtype))
             arrays[k] = v
-        out = self._exp.call(arrays)
+        out = exp.call(arrays)
         return {k: np.asarray(v) for k, v in out.items()}
 
 
@@ -327,6 +373,9 @@ def main(argv=None):
                    help="write a self-contained AOT serving artifact "
                         "(weights + obs pyramid baked in) to this "
                         "path instead of benchmarking")
+    p.add_argument("--export_bs", type=str, default=None,
+                   help="comma-separated batch sizes to bundle into "
+                        "the --export artifact (default: just --bs)")
     args = p.parse_args(argv)
 
     server = Server(args.ckpt, step=args.step, pack=args.pack,
@@ -338,7 +387,9 @@ def main(argv=None):
     dataset = Dataset(server.config, "test")
     batch = next(iter(dataset.iterate(seed=0)))
     if args.export:
-        return server.export(args.export, batch)
+        bs_list = ([int(x) for x in args.export_bs.split(",")]
+                   if args.export_bs else None)
+        return server.export(args.export, batch, bs_list=bs_list)
     stats = server.benchmark(batch)
     logger.info(
         "Serving benchmark (bs=%d, streamed): %.2f ms/request, "

@@ -146,11 +146,14 @@ def fence_grad_accum(config, n_devices, n_tile=1):
                 "Raise grad_accum to stay under it.",
                 micro_rows(grad_accum))
         else:
-            auto = grad_accum
-            while (micro_rows(auto) > GATHER_CLIFF_ROWS
-                   and auto < bs_total and bs_total % (auto * 2) == 0):
-                auto *= 2
-            if auto > grad_accum:
+            # Smallest divisor of bs that fences the microbatch (any
+            # divisor, not just powers of two: bs=6 over the cliff
+            # auto-fences at 2).
+            auto = next(
+                (d for d in range(grad_accum + 1, bs_total + 1)
+                 if bs_total % d == 0
+                 and micro_rows(d) <= GATHER_CLIFF_ROWS), None)
+            if auto is not None:
                 logger.warn(
                     "Auto-set grad_accum=%d: per-device bs %d at %dx%d "
                     "UV crosses the ~1.5M-row gather cliff; scanned "
@@ -159,6 +162,11 @@ def fence_grad_accum(config, n_devices, n_tile=1):
                     auto, bs_total // n_data_devices,
                     config.get_int("uvh"), config.get_int("uvw"))
                 grad_accum = auto
+            else:
+                logger.warn(
+                    "No divisor of bs=%d keeps the per-device "
+                    "microbatch under the ~1.5M-row gather cliff; "
+                    "this step will run ~3x slow.", bs_total)
     return grad_accum
 
 
@@ -216,6 +224,29 @@ def main(argv=None):
         pass  # non-main thread (embedded use): no handler
 
     config = config_mod.read_config(config_ini)
+
+    # Multi-host preemption agreement: all processes must reach the
+    # collective save together, so the exit decision is agreed via a
+    # tiny process_allgather at deterministic points. Fetching that
+    # value costs a host round trip (~25-30 ms on tunneled deployments
+    # — comparable to the ~40 ms step itself), so the train loop only
+    # syncs every preempt_sync_batches (default 8: ~0.3 s worst-case
+    # extra preemption latency against grace windows of seconds)
+    # instead of defeating async-dispatch pipelining on every batch.
+    # Single-process runs check the local flag every batch for free.
+    # The flag is ALSO agreed per validation batch and at every epoch
+    # boundary, so a SIGTERM landing during the vali/vis pass or the
+    # epoch tail is acted on there instead of waiting for the next
+    # epoch's train loop.
+    preempt_sync = max(1, config.get_int("preempt_sync_batches", 8))
+
+    def preempt_agreed():
+        stop = preempt["flag"]
+        if is_multiprocess:
+            from jax.experimental import multihost_utils
+            stop = bool(np.max(multihost_utils.process_allgather(
+                np.asarray([stop], np.int32))))
+        return stop
 
     # Output directory from the xname template
     # (reference: trainvali.py:62-71).
@@ -476,6 +507,30 @@ def main(argv=None):
         out.update(meta)
         return out
 
+    def fetch_vis_local(to_vis):
+        """Multi-host train vis: train batches are data-sharded, so no
+        host can fetch the full batch — but every host CAN fetch its
+        own addressable rows (its loader's examples: make_global_batch
+        places local rows at this process's device positions, in
+        order). ALL hosts must call this (pack_vis on a global array
+        is a multi-host XLA program); host 0 writes its shard's vis."""
+        if not dump_raw:
+            to_vis = {k: v for k, v in to_vis.items()
+                      if k not in ("pred", "gt")}
+        packed = pack_vis(to_vis)
+        out = {}
+        for k, v in packed.items():
+            seen, parts = set(), []
+            for s in sorted(v.addressable_shards,
+                            key=lambda s: (s.index[0].start or 0)):
+                start = s.index[0].start or 0
+                if start in seen:  # replicated field: one copy
+                    continue
+                seen.add(start)
+                parts.append(np.asarray(s.data))
+            out[k] = np.concatenate(parts, axis=0)
+        return out
+
     # Optional profiler capture of steps 2..5 of the first epoch
     # (step 1 is compile; SURVEY.md §5: the reference has no profiler
     # hooks, only wall-clock batch times).
@@ -522,20 +577,31 @@ def main(argv=None):
         place_pool = ThreadPoolExecutor(
             max_workers=1, thread_name_prefix="nlt_place")
 
+    def shutdown_place_pool():
+        """Drop queued placements so a pending upload cannot delay
+        process exit (the preemption path returns mid-epoch)."""
+        if place_pool is not None:
+            place_pool.shutdown(wait=False, cancel_futures=True)
+
+    # Exceptions/interpreter exit also release the worker.
+    import atexit
+    atexit.register(shutdown_place_pool)
+
     def placed_batches(batch_iter):
-        """Yield place(batch) results, placing one batch ahead."""
+        """Yield place(batch) results, keeping up to prefetch_depth
+        batches queued ahead (one placement worker: placement order —
+        and therefore every loss — is unchanged)."""
         if place_pool is None:
             for b in batch_iter:
                 yield place(b)
             return
-        fut = None
+        futs = deque()
         for b in batch_iter:
-            nxt = place_pool.submit(place, b)
-            if fut is not None:
-                yield fut.result()
-            fut = nxt
-        if fut is not None:
-            yield fut.result()
+            futs.append(place_pool.submit(place, b))
+            if len(futs) > prefetch_depth:
+                yield futs.popleft().result()
+        while futs:
+            yield futs.popleft().result()
 
     for epoch_i in range(epoch_restored, epochs):
         # ---- train over all batches ----
@@ -603,28 +669,31 @@ def main(argv=None):
             batch_loss.append(loss)
             # Fetch train vis only on epochs that will write it (the
             # ckpt_period gate below) — the device->host transfer is
-            # the expensive part on thin hosts. Multi-host train
-            # batches are data-sharded (not fully addressable on any
-            # one host), so train vis is skipped there; vali vis
-            # (replicated batches) still works.
+            # the expensive part on thin hosts. On pod slices train
+            # batches are data-sharded: host 0 vises ITS addressable
+            # shard (its own loader's examples). Tile-sharded runs
+            # still skip train vis (no host holds full images); vali
+            # vis (replicated batches) covers those.
             if (batch_i < vis_train_batches
-                    and (epoch_i + 1) % ckpt_period == 0
-                    and not is_multiprocess):
-                batch_vis.append(fetch_vis(to_vis, meta))
-            stop = preempt["flag"]
-            if is_multiprocess:
-                # Agree across hosts EVERY batch: all processes reach
-                # this allgather at the same batch index, so they all
-                # observe the flag together even when the signal lands
-                # between two hosts' checks.
-                from jax.experimental import multihost_utils
-                stop = bool(np.max(multihost_utils.process_allgather(
-                    np.asarray([stop], np.int32))))
-            if stop:
+                    and (epoch_i + 1) % ckpt_period == 0):
+                if not is_multiprocess:
+                    batch_vis.append(fetch_vis(to_vis, meta))
+                elif not tile_spatial:
+                    local_vis = fetch_vis_local(to_vis)
+                    if jax.process_index() == 0:
+                        local_vis.update(meta)
+                        batch_vis.append(local_vis)
+            # All processes reach the agreement at the same batch
+            # index (same cadence), so they observe the flag together
+            # even when the signal lands between two hosts' checks.
+            if ((not is_multiprocess
+                 or (batch_i + 1) % preempt_sync == 0)
+                    and preempt_agreed()):
                 float(loss)  # realize the in-flight step (honest sync)
                 saved = manager.save(epoch_i, state, force=True)
                 manager.wait()
                 manager.close()
+                shutdown_place_pool()
                 logger.warn(
                     "Preempted at epoch %d batch %d; checkpointed "
                     "to\n\t%s", epoch_i + 1, batch_i, saved)
@@ -702,6 +771,22 @@ def main(argv=None):
             is_host0 = jax.process_index() == 0
             v_loss, v_vis, v_psnr = [], [], []
             for batch in vali_batches:
+                # A SIGTERM during validation is acted on HERE (this
+                # epoch's training is complete, so the save lands at
+                # `step`), not an epoch later. All processes agree at
+                # the same vali batch index.
+                if preempt_agreed():
+                    if manager.latest_step() != step:
+                        saved = manager.save(step, state, force=True)
+                    else:  # the ckpt block above already saved it
+                        saved = ckptdir
+                    manager.wait()
+                    manager.close()
+                    shutdown_place_pool()
+                    logger.warn(
+                        "Preempted during validation at epoch %d; "
+                        "checkpointed to\n\t%s", step, saved)
+                    return outdir
                 arrays, meta = strip_host_fields(batch)
                 if is_multiprocess:
                     # Every host iterated the SAME unsharded vali set.
@@ -760,8 +845,26 @@ def main(argv=None):
             "Epoch %d/%d  loss %.6f  (%.3f s/batch)", step, epochs,
             float(np.mean(batch_loss)), float(np.mean(batch_time)))
 
+        # Epoch boundary: a SIGTERM in the epoch tail (vis writing,
+        # summaries) exits here instead of after the next epoch's
+        # first preempt_sync batches. The epoch is complete, so the
+        # save lands at `step` — unless the ckpt block above already
+        # saved this step.
+        if epoch_i + 1 < epochs and preempt_agreed():
+            if manager.latest_step() != step:
+                saved = manager.save(step, state, force=True)
+            else:
+                saved = "(already checkpointed at step %d)" % step
+            manager.wait()
+            manager.close()
+            shutdown_place_pool()
+            logger.warn(
+                "Preempted at the end of epoch %d; %s", step, saved)
+            return outdir
+
     manager.wait()
     manager.close()
+    shutdown_place_pool()
     logger.info("Training done: %d epochs", epochs)
     return outdir
 

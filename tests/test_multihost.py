@@ -143,8 +143,10 @@ def test_two_process_training(tmp_path, scene_root):
     losses = [r["value"] for r in recs if r["tag"] == "loss_train"]
     assert losses and all(np.isfinite(v) for v in losses)
     assert glob(join(outdir, "vis_vali", "epoch*", "batch*"))
-    # Train vis is deliberately skipped on multi-host runs
-    # (data-sharded batches are not host-addressable).
+    # Train vis: host 0 writes its addressable shard (its own loader's
+    # examples) — pod slices keep train vis instead of dropping it.
+    train_vis = glob(join(outdir, "vis_train", "epoch*", "batch*", "*"))
+    assert train_vis, "host-0 train vis missing on the multi-host run"
     assert "initialized: process" in outs[0]
     assert "2 local / 4 global devices" in outs[0]
     # The device example cache ran its multi-host path on every host.
@@ -242,8 +244,10 @@ def test_sigterm_one_process_preempts_both(tmp_path, scene_root):
     import time as time_mod
 
     outroot = str(tmp_path / "out")
+    # preempt_sync_batches=2: the in-loop multi-host agreement fires
+    # within the (2-batch) epoch, not only at the epoch boundary.
     cfg = _base_cfg(scene_root, epochs=100000, ckpt_period=10 ** 6,
-                    outroot=outroot, xname="x")
+                    preempt_sync_batches=2, outroot=outroot, xname="x")
     ini = str(tmp_path / "pre.ini")
     Config(cfg).save(ini)
 
@@ -268,7 +272,49 @@ def test_sigterm_one_process_preempts_both(tmp_path, scene_root):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, (
             "process %d rc=%s:\n%s" % (i, p.returncode, out[-3000:]))
-        assert "Preempted at epoch" in out, (i, out[-3000:])
+        assert "Preempted" in out, (i, out[-3000:])
+    assert glob(join(ckdir, "*")), "no collective checkpoint saved"
+
+
+def test_sigterm_during_vali_preempts_at_vali(tmp_path, scene_root):
+    """A SIGTERM that the train loop never agrees on (preempt_sync
+    huge) is acted on at the NEXT vali pass — the vali-loop agreement
+    point — rather than waiting a full extra epoch. Deterministic:
+    with the in-loop cadence unreachable, the vali path is the first
+    agreement the processes can reach."""
+    import signal
+    import time as time_mod
+
+    outroot = str(tmp_path / "out")
+    cfg = _base_cfg(scene_root, epochs=100000, ckpt_period=10 ** 6,
+                    vali_period=1, vali_batches=1,
+                    preempt_sync_batches=10 ** 6,
+                    outroot=outroot, xname="x")
+    ini = str(tmp_path / "prevali.ini")
+    Config(cfg).save(ini)
+
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "nlt_tpu.trainvali",
+             "--config", ini, "--device", "cpu",
+             "--coordinator_address", "127.0.0.1:%d" % port,
+             "--num_processes", "2", "--process_id", str(i)],
+            env=_mp_env(), cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for i in range(2)
+    ]
+    ckdir = join(outroot, "x", "checkpoints")
+    t0 = time_mod.time()
+    while time_mod.time() - t0 < 300 and not os.path.isdir(ckdir):
+        time_mod.sleep(0.5)
+    time_mod.sleep(8)
+    procs[0].send_signal(signal.SIGTERM)
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, (
+            "process %d rc=%s:\n%s" % (i, p.returncode, out[-3000:]))
+        assert "Preempted during validation" in out, (i, out[-3000:])
     assert glob(join(ckdir, "*")), "no collective checkpoint saved"
 
 

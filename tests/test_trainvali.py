@@ -341,7 +341,7 @@ def test_sigterm_checkpoints_and_resumes(tmp_path, scene_root):
     proc.send_signal(signal.SIGTERM)
     out, _ = proc.communicate(timeout=300)
     assert proc.returncode == 0, out[-3000:]
-    assert "Preempted at epoch" in out, out[-3000:]
+    assert "Preempted" in out, out[-3000:]
     assert glob(join(outdir, "checkpoints", "*")), "no checkpoint saved"
 
     # Resume: finish a small number of additional epochs cleanly.
@@ -410,19 +410,33 @@ def test_serve_export_roundtrip(trained, tmp_path):
     batch = next(iter(ds.iterate(seed=0)))
     want = server.predict(batch)
 
+    bs = batch["base"].shape[0]
     path = str(tmp_path / "served.nltx")
-    server.export(path, batch)
+    # Bundle TWO batch sizes in one artifact (a server taking both
+    # interactive bs-1 queries and sweep batches deploys one file).
+    server.export(path, batch, bs_list=[1, bs])
     loaded = ExportedServer(path)
+    assert loaded.batch_sizes == sorted({1, bs})
     got = loaded.predict(batch)
     assert set(got) == set(want)
     for k in want:
         np.testing.assert_array_equal(got[k], want[k], err_msg=k)
 
-    # Shape mismatch is a loud error, not a silent recompile.
-    bad = {k: (v[:1] if not isinstance(v, list) else v)
-           for k, v in batch.items()}
-    with pytest.raises(AssertionError):
-        loaded.predict(bad)
+    # The bs-1 program dispatches on the request's leading dim and
+    # matches the live server's bs-1 prediction exactly.
+    batch1 = {k: (v[:1] if not isinstance(v, list) else v[:1])
+              for k, v in batch.items()}
+    want1 = server.predict(batch1)
+    got1 = loaded.predict(batch1)
+    np.testing.assert_array_equal(
+        got1["pred_camspc"], want1["pred_camspc"])
+
+    # An unbundled batch size is a loud error, not a silent recompile.
+    if bs > 2:
+        bad = {k: (v[:2] if not isinstance(v, list) else v)
+               for k, v in batch.items()}
+        with pytest.raises(AssertionError):
+            loaded.predict(bad)
 
 
 def test_trainvali_capped_static_cache_losses_equal(tmp_path, scene_root):
@@ -544,3 +558,10 @@ def test_fence_grad_accum_auto_and_warn():
     # bs 16 on one device needs 4 microbatches.
     assert tv.fence_grad_accum(
         Config({"bs": 16, "uvh": 512, "uvw": 512}), n_devices=1) == 4
+    # Non-power-of-two bs over the cliff: smallest divisor that
+    # fences (bs=6 -> 2 micros of 3; the old doubling loop gave up).
+    assert tv.fence_grad_accum(
+        Config({"bs": 6, "uvh": 512, "uvw": 512}), n_devices=1) == 2
+    # bs=9: only 3 divides it under the cliff.
+    assert tv.fence_grad_accum(
+        Config({"bs": 9, "uvh": 512, "uvw": 512}), n_devices=1) == 3
