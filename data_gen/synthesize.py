@@ -41,7 +41,8 @@ from os.path import join
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from util import add_b_ch, dump_json, remap, save_float16_npy  # noqa: E402
+from util import (add_b_ch, dump_json, remap, save_float16_npy,  # noqa: E402
+                  splat_unstruct)
 
 parser = argparse.ArgumentParser(description=__doc__)
 parser.add_argument("--outroot", type=str, required=True)
@@ -67,12 +68,31 @@ parser.add_argument("--identity_uv", action="store_true",
                          "warp (the reference README's sanctioned "
                          "simplification, README.md:37-43); combine with "
                          "--n_cams=1")
+parser.add_argument("--shape", type=str, default="sphere",
+                    choices=["sphere", "torus"],
+                    help="'sphere': analytic single-chart lat-long UV "
+                         "unwrap, direct warp evaluation (benign). "
+                         "'torus': the dragon-data REGIME — a self-"
+                         "occluding surface (cast shadows, near-tube-"
+                         "occludes-far-tube), a MULTI-ISLAND UV atlas "
+                         "(4 differently-oriented charts + a tube "
+                         "seam), and warp fields built the reference "
+                         "way: nearest-splat with an L1 trust radius "
+                         "of 4 (seams, holes, and occlusion "
+                         "discontinuities are real; reference: "
+                         "data_gen/render.py:279-351, "
+                         "xiuminglib/blender/object.py:835-893)")
 parser.add_argument("--seed", type=int, default=0)
 
 SPHERE_R = 1.0
 CAM_R = 3.5
 LIGHT_R = 4.0
 FOV_DEG = 40.0
+
+# Torus (z-axis): bounding radius TORUS_R + TORUS_r ~ the sphere's.
+TORUS_R = 0.72
+TORUS_r = 0.34
+ATLAS_PAD = 0.05  # per-cell margin of the 2x2 island packing
 
 
 def normalize(v, axis=-1):
@@ -153,25 +173,33 @@ def material_map(u, v):
     return np.clip(_material_raw(u, v) / _MATERIAL_NORM, 0, 1)
 
 
-def shade(p, n, cam_pos, light_pos, sss=False):
+def shade(p, n, cam_pos, light_pos, sss=False, uv=None, shadow=None):
     """Full light transport at surface points p with normals n.
 
-    Returns (rgb, lvis, cvis): rgb in [0,1], lvis = clamped light
-    cosine (the shadowed-light visibility analog), cvis = clamped view
-    cosine."""
+    uv: optional (u, v) surface-intrinsic texture coordinates (defaults
+    to the sphere's lat-long mapping). shadow: optional 0/1 cast-shadow
+    visibility (1 = lit); modulates all direct lighting, making lvis
+    the shadowed light-visibility buffer like the reference's
+    shadow-raycast lvis (reference: data_gen/render.py:231-276).
+
+    Returns (rgb, lvis, cvis): rgb in [0,1], lvis = clamped (shadowed)
+    light cosine, cvis = clamped view cosine."""
     l_dir = normalize(light_pos - p)
     v_dir = normalize(cam_pos - p)
     ndl = np.sum(n * l_dir, axis=-1)
     ndv = np.sum(n * v_dir, axis=-1)
-    lvis = np.clip(ndl, 0, 1)
+    shadow = 1.0 if shadow is None else shadow
+    lvis = np.clip(ndl, 0, 1) * shadow
     cvis = np.clip(ndv, 0, 1)
 
-    u, v = sphere_uv(p)
+    u, v = uv if uv is not None else sphere_uv(p)
     alb = albedo_texture(u, v)
     if sss:
-        # Wrap lighting: light leaks past the terminator.
+        # Wrap lighting: light leaks past the terminator; cast shadows
+        # soften the direct term but not the tint (subsurface scatter).
         w = 0.4
-        wrap = np.clip((ndl + w) / (1 + w), 0, 1)
+        wrap = np.clip((ndl + w) / (1 + w), 0, 1) \
+            * (0.3 + 0.7 * shadow)
         rgb = alb * wrap[..., None]
         # A reddish subsurface tint near the terminator.
         ring = np.clip(1 - np.abs(ndl) / 0.3, 0, 1)
@@ -252,6 +280,178 @@ def render_config(cam, light, imh, uvs, sss):
     # (rgb/lvis stay defined everywhere in UV space, like the
     # reference's remapped buffers are only defined where visible; we
     # keep them dense, which is strictly more information).
+
+    return {
+        "rgb_camspc": rgb_camspc.astype(np.float32),
+        "alpha": alpha,
+        "uv2cam": uv2cam,
+        "rgb": rgb_uv.astype(np.float32),
+        "lvis": lvis_uv.astype(np.float32),
+        "cvis": cvis_uv.astype(np.float32),
+        "cam2uv": cam2uv,
+    }
+
+
+# ---- torus: the dragon-data regime ---------------------------------
+#
+# A z-axis torus self-occludes (the near tube hides the far tube; the
+# hole shows background through the middle) and casts shadows on
+# itself. Its UV atlas is FOUR differently-oriented islands (theta
+# quadrants packed 2x2 with margins, one transposed, one u-flipped,
+# one v-flipped — the arbitrary-orientation structure Blender's smart
+# UV projection produces; reference:
+# xiuminglib/blender/object.py:835-893) plus a tube seam (phi wrap)
+# crossing every island. Warp fields are built from the camera pass's
+# scattered correspondences by nearest-splat with an L1 trust radius
+# (util.splat_unstruct), and UV-space buffers are REMAPPED from camera
+# space through cam2uv — exactly the reference pipeline, so seams,
+# trust-radius holes, and occlusion discontinuities are real
+# (reference: data_gen/render.py:151-179, 279-351).
+
+
+def torus_sdf(p):
+    s = np.hypot(p[..., 0], p[..., 1])
+    return np.hypot(s - TORUS_R, p[..., 2]) - TORUS_r
+
+
+def torus_normal(p):
+    """Analytic SDF gradient (exact on the surface)."""
+    s = np.maximum(np.hypot(p[..., 0], p[..., 1]), 1e-12)
+    q0 = s - TORUS_R
+    qn = np.maximum(np.hypot(q0, p[..., 2]), 1e-12)
+    gx = (q0 / qn) * (p[..., 0] / s)
+    gy = (q0 / qn) * (p[..., 1] / s)
+    gz = p[..., 2] / qn
+    return normalize(np.stack([gx, gy, gz], axis=-1))
+
+
+def torus_params(p):
+    """Surface-intrinsic angles: theta around the main axis, phi around
+    the tube; both in [0, 1)."""
+    theta = np.arctan2(p[..., 1], p[..., 0])  # [-pi, pi)
+    s = np.hypot(p[..., 0], p[..., 1])
+    phi = np.arctan2(p[..., 2], s - TORUS_R)
+    return (theta / (2 * np.pi)) % 1.0, (phi / (2 * np.pi)) % 1.0
+
+
+def torus_point(th01, ph01):
+    theta = th01 * 2 * np.pi
+    phi = ph01 * 2 * np.pi
+    ring = TORUS_R + TORUS_r * np.cos(phi)
+    return np.stack([ring * np.cos(theta), ring * np.sin(theta),
+                     TORUS_r * np.sin(phi)], axis=-1)
+
+
+def surf_to_atlas(th01, ph01):
+    """Multi-island UV atlas: 4 theta-quadrant islands packed 2x2 with
+    per-cell margins and per-island orientation changes. Adjacent
+    surface points across a quadrant boundary land in DIFFERENT,
+    differently-oriented atlas cells — the warp-discontinuity structure
+    of smart-UV unwraps."""
+    island = np.minimum((th01 * 4).astype(np.int64), 3)
+    a = th01 * 4 - island  # [0, 1) along the quadrant
+    b = ph01               # [0, 1) around the tube (seam at phi=0)
+    # Orientation per island: 0 identity, 1 transposed, 2 u-flip,
+    # 3 v-flip.
+    a2 = np.select([island == 1, island == 2], [b, 1 - a], a)
+    b2 = np.select([island == 1, island == 3], [a, 1 - b], b)
+    row, col = island // 2, island % 2
+    u = (col + ATLAS_PAD + a2 * (1 - 2 * ATLAS_PAD)) / 2
+    v = (row + ATLAS_PAD + b2 * (1 - 2 * ATLAS_PAD)) / 2
+    return u, v
+
+
+def march(origins, dirs, n_steps=160, eps=2e-4, tmax=12.0, t0=0.0):
+    """Vectorized sphere tracing against the torus SDF. Returns
+    (hit, t): hit mask and ray parameter of the surface point."""
+    t = np.broadcast_to(np.asarray(t0, np.float64),
+                        dirs.shape[:-1]).copy()
+    done = np.zeros(dirs.shape[:-1], bool)
+    for _ in range(n_steps):
+        p = origins + t[..., None] * dirs
+        d = torus_sdf(p)
+        done |= d < eps
+        t = np.where(done, t, t + d)
+        if bool(np.all(done | (t > tmax))):
+            break
+    return done & (t <= tmax), t
+
+
+def light_shadow(p, n, light_pos):
+    """Cast-shadow visibility by shadow-ray marching from each surface
+    point toward the light (the reference raycasts light->surface;
+    reference: data_gen/render.py:231-276). 1 = lit, 0 = shadowed."""
+    to_l = light_pos - p
+    dist_l = np.linalg.norm(to_l, axis=-1)
+    l_dir = to_l / np.maximum(dist_l[..., None], 1e-12)
+    # Start just off the surface; a hit before the light = shadowed.
+    start = p + n * 3e-3
+    hit, t = march(start, l_dir, n_steps=128, eps=2e-4,
+                   tmax=float(dist_l.max()))
+    return (~(hit & (t < dist_l - 1e-2))).astype(np.float64)
+
+
+def render_config_torus(cam, light, imh, uvs, sss):
+    """Render one (cam, light) pair of the torus scene the reference
+    pipeline's way: camera-space pass by ray marching, warps by
+    trust-radius nearest-splat of the per-pixel correspondences, and
+    UV-space buffers remapped from camera space through cam2uv."""
+    cam_pos = np.asarray(cam["position"], np.float64)
+    light_pos = np.asarray(light["position"], np.float64)
+    right, down, fwd = look_at(cam_pos)
+    focal = 0.5 / np.tan(np.deg2rad(FOV_DEG) / 2)
+
+    # ---- camera-space pass ----
+    ys, xs = np.meshgrid(np.arange(imh), np.arange(imh), indexing="ij")
+    ndc_x = (xs + 0.5) / imh - 0.5
+    ndc_y = (ys + 0.5) / imh - 0.5
+    dirs = normalize(
+        focal * fwd[None, None] + ndc_x[..., None] * right[None, None]
+        + ndc_y[..., None] * down[None, None])
+    # Start marching at the bounding sphere to save iterations.
+    oc = cam_pos[None, None]
+    brad = TORUS_R + TORUS_r + 0.05
+    b = np.sum(dirs * oc, axis=-1)
+    c = np.sum(cam_pos * cam_pos) - brad ** 2
+    disc = b * b - c
+    near = np.where(disc > 0, -b - np.sqrt(np.maximum(disc, 0)), np.inf)
+    hit, t = march(np.broadcast_to(oc, dirs.shape), dirs,
+                   t0=np.where(np.isfinite(near), near, 0.0))
+    hit &= np.isfinite(near)
+    p = oc + t[..., None] * dirs
+    n = torus_normal(p)
+
+    shadow = light_shadow(p, n, light_pos)
+    th01, ph01 = torus_params(p)
+    rgb_camspc, lvis_cam, cvis_cam = shade(
+        p, n, cam_pos, light_pos, sss, uv=(th01, ph01), shadow=shadow)
+    rgb_camspc *= hit[..., None]
+    lvis_cam = lvis_cam * hit
+    cvis_cam = cvis_cam * hit
+    alpha = hit.astype(np.float32)
+
+    # ---- warps by trust-radius nearest-splat (the reference way) ----
+    u_at, v_at = surf_to_atlas(th01, ph01)
+    px = (xs[hit] + 0.5) / imh
+    py = (ys[hit] + 0.5) / imh
+    cam_locs = np.stack([px, py], axis=-1)            # camera-space
+    uv_locs = np.stack([u_at[hit], v_at[hit]], axis=-1)  # atlas-space
+
+    # uv2cam: per camera pixel, the atlas source coords. Samples sit at
+    # the pixels themselves; the splat still dilates ~trust-radius
+    # beyond the silhouette with nearest values (a real-data artifact).
+    uv2cam = splat_unstruct(cam_locs, uv_locs, (imh, imh))
+    # cam2uv: per atlas texel, the camera source coords. Seams between
+    # islands, trust-radius holes where this camera sees no nearby
+    # texel, and nearest-fill across self-occlusion boundaries all
+    # arise here exactly as in the reference pipeline.
+    cam2uv = splat_unstruct(uv_locs, cam_locs, (uvs, uvs))
+
+    # ---- UV-space buffers: remap camera space through cam2uv
+    # (reference: data_gen/render.py:174-179) ----
+    rgb_uv = remap(rgb_camspc, cam2uv)
+    lvis_uv = remap(lvis_cam, cam2uv)
+    cvis_uv = remap(cvis_cam, cam2uv)
 
     return {
         "rgb_camspc": rgb_camspc.astype(np.float32),
@@ -397,8 +597,18 @@ def main(args):
 
     global _MATERIAL_BLOBS
     _MATERIAL_BLOBS = args.material_blobs
+    render_fn = (render_config_torus if args.shape == "torus"
+                 else render_config)
+    dump_json(
+        {"shape": args.shape, "sss": bool(args.sss),
+         "material_blobs": bool(args.material_blobs),
+         "atlas": ({"islands": 4, "pad": ATLAS_PAD,
+                    "R": TORUS_R, "r": TORUS_r}
+                   if args.shape == "torus" else
+                   {"islands": 1, "mapping": "lat-long"})},
+        join(args.outroot, "scene.json"))
     for id_, cam, light, nn in jobs:
-        buffers = render_config(cam, light, args.imh, args.uvs, args.sss)
+        buffers = render_fn(cam, light, args.imh, args.uvs, args.sss)
         if args.identity_uv:
             buffers = make_identity_uv(buffers, args.imh)
         write_config_dir(join(args.outroot, id_), buffers, cam, light, nn)

@@ -44,6 +44,51 @@ def save_float16_npy(arr, path):
     np.save(path, np.asarray(arr).astype(np.float16))
 
 
+def splat_unstruct(locs, vals, grid_hw, max_l1_interp=4, fill_value=0.0):
+    """Scatter sparse samples onto a grid the reference's way: nearest-
+    neighbor griddata splat with an L1 trust radius — the pipeline that
+    makes real scenes' warp fields discontinuous at UV-island seams,
+    holed where no sample lands within the radius, and nearest-filled
+    (not interpolated) across occlusion boundaries (reference:
+    data_gen/render.py:279-351 `calc_bidir_mapping` +
+    third_party/xiuminglib/xiuminglib/img.py:289-398
+    `grid_query_unstruct` with max_l1_interp=4).
+
+    Image-convention (x right, y DOWN) wrapper over the framework's
+    grid_query_unstruct (which keeps the reference's v-up sample
+    convention).
+
+    Args:
+        locs: (N, 2) normalized sample locations, image convention.
+        vals: (N, M) values at those locations.
+        grid_hw: (H, W) of the output grid.
+        max_l1_interp: trust radius in pixels.
+        fill_value: background fill (the reference uses 0 = black so
+            warp consumers hit the blacked-out corner texel).
+
+    Returns:
+        (H, W, M) splatted grid.
+    """
+    import os
+    import sys
+    _repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if _repo not in sys.path:
+        sys.path.insert(0, _repo)
+    from nlt_tpu.utils.grid import grid_query_unstruct
+
+    locs = np.asarray(locs, np.float64)
+    vals = np.asarray(vals, np.float64)
+    if vals.ndim == 1:
+        vals = vals[:, None]
+    uvs = np.stack([locs[:, 0], 1.0 - locs[:, 1]], axis=-1)  # y->v up
+    out = grid_query_unstruct(
+        uvs, vals, grid_hw,
+        method={"func_underlying": "nearest",
+                "fill_value": (fill_value,),
+                "max_l1_interp": max_l1_interp})
+    return out.astype(np.float32)
+
+
 def remap(img, warp):
     """Bilinear resample `img` through a normalized warp field.
 
