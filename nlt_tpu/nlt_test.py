@@ -50,6 +50,14 @@ def parse_args(argv=None):
                         "all available (clamped to the batch size), "
                         "1 = single-device (the reference's single-"
                         "replica test path, nlt/nlt_test.py:78-94)")
+    # Multi-host inference (one process per host on a pod slice): the
+    # same jax.distributed bring-up as training. Each process feeds its
+    # devices' slice of every test batch; outputs are all-gathered to
+    # replicated inside the jitted program, and host 0 writes frames —
+    # byte-identical to the single-process run.
+    p.add_argument("--coordinator_address", type=str, default=None)
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     return p.parse_args(argv)
 
 
@@ -117,9 +125,10 @@ def infer(model, state, dataset, feat_agg, outroot, report_every=10,
     single-device path — sharding is a layout, not a math change."""
     batch_dirs = []
     is_linear = model.config.get_bool("linear_space")
+    is_mp = jax.process_count() > 1
     if mesh is not None:
         from .parallel import mesh as mesh_mod
-        state = jax.device_put(state, mesh_mod.replicated(mesh))
+        state = mesh_mod.replicate_tree(mesh, state)
 
     def _apply(p, b, ov):
         tv = model.apply(p, b, "test", obs_override=ov)[3]
@@ -128,7 +137,16 @@ def infer(model, state, dataset, feat_agg, outroot, report_every=10,
         # thin-host deployments (utils/img.pack_vis).
         return imgutil.pack_vis(tv, linear_space=is_linear)
 
-    apply_jit = jax.jit(_apply)
+    if mesh is not None and is_mp:
+        # Pod-slice inference: the compute runs data-sharded; the
+        # (packed, small) vis outputs are all-gathered to replicated
+        # INSIDE the program so host 0 can write every frame —
+        # byte-identical to the single-process run.
+        from .parallel import mesh as mesh_mod
+        apply_jit = jax.jit(
+            _apply, out_shardings=mesh_mod.replicated(mesh))
+    else:
+        apply_jit = jax.jit(_apply)
     # Keep the remainder: every test view must be inferred.
     for batch_i, batch in enumerate(
             dataset.iterate(seed=0, drop_remainder=False)):
@@ -137,23 +155,45 @@ def infer(model, state, dataset, feat_agg, outroot, report_every=10,
         bs = arrays["base"].shape[0]
         if mesh is not None:
             from .parallel import mesh as mesh_mod
-            arrays = mesh_mod.shard_batch(mesh, arrays)
-            obs_override = [
-                jax.device_put(jnp.tile(x, (bs, 1, 1, 1)),
-                               mesh_mod.replicated(mesh))
-                for x in feat_agg]
+            if is_mp:
+                # Every host iterated the same (deterministic) test
+                # set; each contributes its devices' slice of the
+                # batch. Remainder batches replicate (exact, no
+                # padding bookkeeping), like shard_batch's remainder
+                # path.
+                if bs % mesh.shape["data"] == 0:
+                    shard_id, num_shards = mesh_mod.process_data_shard(
+                        mesh)
+                    per = bs // num_shards
+                    local = {
+                        k: v[shard_id * per:(shard_id + 1) * per]
+                        for k, v in arrays.items()}
+                    arrays = mesh_mod.make_global_batch(mesh, local)
+                else:
+                    arrays = mesh_mod.make_global_batch(
+                        mesh, arrays, replicate=True)
+            else:
+                arrays = mesh_mod.shard_batch(mesh, arrays)
+            obs_override = mesh_mod.replicate_tree(
+                mesh, [jnp.tile(x, (bs, 1, 1, 1)) for x in feat_agg])
         else:
             arrays = {k: jnp.asarray(v) for k, v in arrays.items()}
             obs_override = [jnp.tile(x, (bs, 1, 1, 1)) for x in feat_agg]
         to_vis = apply_jit(state["params"], arrays, obs_override)
-        to_vis = {k: np.asarray(v) for k, v in to_vis.items()}
-        to_vis["id"] = batch["id"]
-        to_vis["nn_id"] = batch["nn_id"]
         outdir = join(outroot, "batch%09d" % batch_i)
-        model.vis_batch(to_vis, outdir, "test")
+        if not is_mp or jax.process_index() == 0:
+            to_vis = {k: np.asarray(v) for k, v in to_vis.items()}
+            to_vis["id"] = batch["id"]
+            to_vis["nn_id"] = batch["nn_id"]
+            model.vis_batch(to_vis, outdir, "test")
         batch_dirs.append(outdir)
         if (batch_i + 1) % report_every == 0:
             logger.info("Done inferring %d batches", batch_i + 1)
+    if is_mp:
+        # Host 0 may still be writing; everyone leaves infer() together
+        # (the caller's video compilation reads these files).
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("nlt_tpu:infer_done")
     return batch_dirs
 
 
@@ -161,6 +201,12 @@ def main(argv=None):
     args = parse_args(argv)
     if args.device == "cpu":
         jax.config.update("jax_platforms", "cpu")
+
+    from .parallel import mesh as mesh_mod
+    mesh_mod.initialize_distributed(
+        coordinator_address=args.coordinator_address,
+        num_processes=args.num_processes,
+        process_id=args.process_id)
 
     config_ini = get_config_ini(args.ckpt)
     config = config_mod.read_config(config_ini)
@@ -206,6 +252,9 @@ def main(argv=None):
                    "ckpt-%s_pred" % step)
     batch_vis_dirs = infer(
         model, state, dataset_test, feat_agg, outroot, mesh=mesh)
+
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        return None  # frames + video are host 0's
 
     # Use infer()'s dir list, not a re-glob (stale dirs from a previous
     # run with a different batch size would pollute the video).

@@ -17,6 +17,19 @@ SURVEY.md §2.5). Design:
   global arrays from per-host shards via
   jax.make_array_from_process_local_data, the analog of
   experimental_distribute_dataset (reference: trainvali.py:90,112).
+
+Tile-count envelope (measured on the 8-device rig,
+tests/test_parallel.py::test_deep_pyramid_tile_sharding_128): the
+'tile' axis shards UV/image ROWS, and the U-Net's stride-2 pyramid
+shrinks the row count by 2^(n_stages) at the bottleneck (full
+depth0=16 dragon schedule: 5 stages -> uvh/32 rows, e.g. 16 rows at
+512^2, 4 at 128^2). Any n_tile that divides the INPUT row count is
+numerically exact — including n_tile larger than the bottleneck's
+rows: GSPMD pads/collapses the degenerate inner-stage shards and the
+loss still matches single-device at rtol 1e-5. Past the bottleneck
+row count the extra devices add halo-exchange latency for no work,
+so n_tile <= uvh / 2^5 is the PERFORMANCE envelope, while
+correctness holds for any divisor of uvh.
 """
 
 import numpy as np
@@ -74,6 +87,20 @@ def make_mesh(n_data=None, n_tile=1, devices=None, batch_size=None):
 
 def replicated(mesh):
     return NamedSharding(mesh, P())
+
+
+def replicate_tree(mesh, tree):
+    """Place identical per-host values replicated over a (possibly
+    multi-host) mesh. jax.device_put cannot move a COMMITTED local
+    array to a sharding spanning other hosts' devices (it would be a
+    cross-host transfer); dropping to host numpy first makes every
+    leaf a process-local value each host supplies identically — the
+    restored-checkpoint / precomputed-feature placement path for
+    multi-process inference and serving."""
+    def leaf(v):
+        return jax.device_put(np.asarray(v), replicated(mesh))
+
+    return jax.tree.map(leaf, tree)
 
 
 def batch_spec(mesh, field, tile_spatial=False, ndim=4):

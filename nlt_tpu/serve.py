@@ -112,10 +112,9 @@ class Server:
         mesh = self._mesh_for(bs)
         if mesh is not None:
             from .parallel import mesh as mesh_mod
-            rep = mesh_mod.replicated(mesh)
-            self.state = jax.device_put(self.state, rep)
+            self.state = mesh_mod.replicate_tree(mesh, self.state)
             if override is not None:
-                override = [jax.device_put(x, rep) for x in override]
+                override = mesh_mod.replicate_tree(mesh, override)
 
         def fwd(params, batch):
             _, _, _, to_vis = self.model.apply(
@@ -130,7 +129,15 @@ class Server:
             return out
 
         self._fwd = fwd
-        self._predict = jax.jit(fwd)
+        if mesh is not None and jax.process_count() > 1:
+            # Pod-slice serving: compute runs data-sharded; the packed
+            # outputs are all-gathered to replicated inside the program
+            # so every host materializes the full response.
+            from .parallel import mesh as mesh_mod
+            self._predict = jax.jit(
+                fwd, out_shardings=mesh_mod.replicated(mesh))
+        else:
+            self._predict = jax.jit(fwd)
         self._bs = bs
 
     def _place(self, batch, ids):
@@ -138,6 +145,25 @@ class Server:
                   if not isinstance(v, list)}
         mesh = self._mesh_for(
             next(iter(arrays.values())).shape[0]) if self.shard else None
+        if mesh is not None and jax.process_count() > 1:
+            # Multi-host serving: every host received the same request
+            # (a pod-slice server fans requests to all hosts); each
+            # contributes its devices' slice. Remainder batches
+            # replicate.
+            from .parallel import mesh as mesh_mod
+            bs = next(iter(arrays.values())).shape[0]
+            if bs % mesh.shape["data"] != 0:
+                return mesh_mod.make_global_batch(
+                    mesh, arrays, replicate=True)
+            shard_id, num_shards = mesh_mod.process_data_shard(mesh)
+            per = bs // num_shards
+            local = {k: np.asarray(v)[shard_id * per:(shard_id + 1) * per]
+                     for k, v in arrays.items()}
+            if ids is not None:
+                return self._input_cache.make_global_batch(
+                    mesh, local, list(ids)[shard_id * per:
+                                           (shard_id + 1) * per])
+            return mesh_mod.make_global_batch(mesh, local)
         if ids is not None:
             return self._input_cache.shard_batch(mesh, arrays, ids)
         if mesh is not None:

@@ -30,12 +30,12 @@ def small_config(**overrides):
     return Config(cfg)
 
 
-def make_batch(rng, n=8):
+def make_batch(rng, n=8, size=UVH):
     def img(c):
-        return rng.uniform(0, 1, (n, UVH, UVH, c)).astype(np.float32)
+        return rng.uniform(0, 1, (n, size, size, c)).astype(np.float32)
 
-    xs, ys = np.meshgrid(np.arange(UVH), np.arange(UVH))
-    warp = np.stack([xs / UVH, ys / UVH], -1).astype(np.float32)
+    xs, ys = np.meshgrid(np.arange(size), np.arange(size))
+    warp = np.stack([xs / size, ys / size], -1).astype(np.float32)
     return {
         "base": img(3), "cvis": img(1), "lvis": img(1),
         "warp": np.tile(warp[None], (n, 1, 1, 1)),
@@ -108,6 +108,39 @@ def test_texel_tile_sharded_step(rng):
     sharded = mesh_mod.shard_batch(mesh, batch, tile_spatial=True)
     _, loss_t, _ = step(state, sharded)
     np.testing.assert_allclose(float(loss1), float(loss_t), rtol=1e-4)
+
+
+def test_deep_pyramid_tile_sharding_128(rng):
+    """Deep-pyramid tile sharding (VERDICT r3 #4): the FULL depth0=16
+    dragon schedule (depth 256 -> five contracting stages, a 4x4
+    bottleneck at 128^2) under texel-tile sharding. tile=2 leaves 2
+    bottleneck rows per shard; tile=8 EXCEEDS the bottleneck's 4 rows
+    entirely — GSPMD pads the degenerate shards and the result is
+    still exact (the supported envelope documented in
+    parallel/mesh.py). Losses must match single-device at rtol 1e-5."""
+    size = 128
+    cfg = small_config(imh=size, imw=size, uvh=size, uvw=size,
+                       depth=256, bs=4)
+    model = get_model_class("nlt")(cfg)
+    tx = train_mod.make_optimizer(1e-3)
+    batch = make_batch(rng, n=4, size=size)
+
+    state1 = train_mod.init_state(model, tx, jax.random.PRNGKey(0))
+    step1 = train_mod.make_train_step(model, tx)
+    arrays = {k: jnp.asarray(v) for k, v in batch.items()}
+    _, loss1, _ = step1(state1, arrays)
+
+    for n_tile in (2, 8):
+        mesh = mesh_mod.make_mesh(n_data=1, n_tile=n_tile)
+        state = train_mod.init_state(model, tx, jax.random.PRNGKey(0))
+        state = jax.device_put(state, mesh_mod.replicated(mesh))
+        step = train_mod.make_train_step(
+            model, tx, mesh=mesh, tile_spatial=True)
+        sharded = mesh_mod.shard_batch(mesh, batch, tile_spatial=True)
+        _, loss_t, _ = step(state, sharded)
+        np.testing.assert_allclose(
+            float(loss1), float(loss_t), rtol=1e-5,
+            err_msg="n_tile=%d" % n_tile)
 
 
 def test_multi_observation_tile_sharded_step(rng):
