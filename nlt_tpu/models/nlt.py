@@ -274,7 +274,8 @@ class Model(BaseModel):
             # routing) was precomputed per example (static_products)
             # and cached in HBM; only the window take + weighted
             # combine (and its Pallas-scatter VJP) run per step.
-            pred_camspc = resample_mod.resample_planned(pred_c, plan)
+            pred_camspc = resample_mod.resample_planned(
+                pred_c, plan, out_hw=(warp.shape[1], warp.shape[2]))
         else:
             pred_camspc = resample_mod.resample(
                 pred_c, warp, impl=self.resample_impl)
@@ -365,8 +366,18 @@ class Model(BaseModel):
             # zeroed by set_left_top_corner's VJP, so updates that only
             # write there (all background queries) are dropped from the
             # scatter plan.
+            # take_compact_frac > 0 opts into forward-take compaction:
+            # the plan keeps only live query rows, padded to
+            # ceil(frac * Ho * Wo) per example (a loud error at cache
+            # insert if a scene's coverage exceeds it —
+            # parallel/feat_cache.insert).
+            frac = self.config.get_float("take_compact_frac", 0.0)
+            compact = (int(np.ceil(frac * warp.shape[1]
+                                   * warp.shape[2]))
+                       if frac > 0 else None)
             products["pred_plan"] = resample_mod.make_plan(
-                warp, h, w, zero_grad_texel=(0, 0))
+                warp, h, w, zero_grad_texel=(0, 0),
+                compact_rows=compact)
         return products
 
     def gt_camspc(self, batch):

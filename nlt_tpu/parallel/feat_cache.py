@@ -96,6 +96,21 @@ class GTFeatureCache:
         """feats: pytree of per-batch arrays (leading dim len(ids)).
         Returns True iff every id now occupies a cache slot (rows
         beyond capacity are skipped)."""
+        # Compacted resample plans (take_compact_frac) carry their live
+        # counts; a scene whose coverage exceeds the static capacity
+        # would be SILENTLY truncated inside jit — refuse loudly here,
+        # the one host-side point every extracted plan passes through.
+        plan = (feats.get("products", {}).get("pred_plan", {})
+                if isinstance(feats, dict) else {})
+        if "clive" in plan:
+            counts = np.asarray(plan["clive"])
+            cap = plan["cpos"].shape[1]
+            if counts.max(initial=0) > cap:
+                raise ValueError(
+                    "take_compact_frac capacity %d rows/example is "
+                    "below this scene's live-query coverage (max %d); "
+                    "raise take_compact_frac (or set 0 to disable "
+                    "compaction)" % (cap, int(counts.max())))
         if self.taps is None:
             self._alloc(ids, feats)
         for i in ids:

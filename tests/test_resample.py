@@ -267,3 +267,69 @@ def test_planned_kernel_route_matches_fallback(rng, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(grad_kernel), np.asarray(grad_fallback),
         rtol=1e-6, atol=1e-6)
+
+
+def test_compact_planned_matches_standard(rng):
+    """Forward-take compaction (make_plan(compact_rows=K)): gathering
+    only the live query rows and scatter-setting them into the output
+    grid must reproduce the standard planned resample EXACTLY — values
+    and image gradients — when the caller blacks the zero-grad texel
+    (the NLT model's contract). ~50% of queries here are background
+    (warp == 0 -> the blacked corner)."""
+    from nlt_tpu.ops import resample as resample_mod
+    from nlt_tpu.utils import img as imgutil
+
+    n, h, w, c = 2, 24, 24, 3
+    img = jnp.asarray(rng.uniform(0.1, 1, (n, h, w, c)), jnp.float32)
+    img = imgutil.set_left_top_corner(img, 0.0)
+    ho, wo = 20, 20
+    # Half the queries are live in-bounds warps, half exact-zero
+    # background (routed to the blacked corner), a few fully OOB.
+    warp = rng.uniform(0, w - 1.01, (n, ho, wo, 2)).astype(np.float32)
+    mask = rng.uniform(size=(n, ho, wo)) < 0.5
+    warp[mask] = 0.0
+    warp[:, :2, :2] = -50.0  # fully out of bounds -> dead
+    warp = jnp.asarray(warp)
+
+    plan = resample_mod.make_plan(warp, h, w, zero_grad_texel=(0, 0))
+    cap = int(np.ceil(0.6 * ho * wo))
+    cplan = resample_mod.make_plan(
+        warp, h, w, zero_grad_texel=(0, 0), compact_rows=cap)
+    assert int(np.asarray(cplan["clive"]).max()) <= cap
+
+    out = resample_mod.resample_planned(img, plan)
+    out_c = resample_mod.resample_planned(img, cplan, out_hw=(ho, wo))
+    np.testing.assert_allclose(
+        np.asarray(out_c), np.asarray(out), rtol=1e-6, atol=1e-6)
+
+    # Image gradients (through set_left_top_corner, as the model does).
+    def loss(im, p, kw):
+        im = imgutil.set_left_top_corner(im, 0.0)
+        r = resample_mod.resample_planned(im, p, **kw)
+        return jnp.sum(jnp.sin(3.0 * r))
+
+    g = jax.grad(loss)(img, plan, {})
+    g_c = jax.grad(loss)(img, cplan, {"out_hw": (ho, wo)})
+    np.testing.assert_allclose(
+        np.asarray(g_c), np.asarray(g), rtol=1e-5, atol=1e-6)
+
+
+def test_compact_plan_overflow_refused():
+    import pytest
+    """A scene with more live queries than the static capacity must be
+    refused loudly at cache insert (parallel/feat_cache), never
+    silently truncated."""
+    from nlt_tpu.ops import resample as resample_mod
+    from nlt_tpu.parallel import feat_cache as feat_cache_mod
+
+    n, h, w = 1, 16, 16
+    warp = jnp.ones((n, 12, 12, 2), jnp.float32) * 5.0  # all live
+    cap = 40  # < 144 live
+    cplan = resample_mod.make_plan(
+        warp, h, w, zero_grad_texel=(0, 0), compact_rows=cap)
+    assert int(np.asarray(cplan["clive"])[0]) == 144
+
+    cache = feat_cache_mod.GTFeatureCache(["ex0"], cap_mb=64)
+    feats = {"feats": {}, "products": {"pred_plan": cplan}}
+    with pytest.raises(ValueError, match="take_compact_frac"):
+        cache.insert(["ex0"], feats)

@@ -565,3 +565,26 @@ def test_fence_grad_accum_auto_and_warn():
     # bs=9: only 3 divides it under the cliff.
     assert tv.fence_grad_accum(
         Config({"bs": 9, "uvh": 512, "uvw": 512}), n_devices=1) == 3
+
+
+def test_trainvali_take_compact_losses_equal(tmp_path, scene_root):
+    """Forward-take compaction (take_compact_frac, VERDICT r3 #2) is an
+    exact rewrite: the cached-statics driver run with compaction
+    trains to the same losses as without it."""
+    from nlt_tpu import trainvali
+    losses = {}
+    for tag, frac in (("full", 0.0), ("compact", 0.8)):
+        d = tmp_path / tag
+        d.mkdir()
+        ini = write_ini(
+            d, scene_root, epochs=2,
+            loss="barron,1e+0lpips", lpips_max_res=32,
+            cache_static=True, take_compact_frac=frac,
+            outroot=str(tmp_path / ("out_" + tag)),
+            xname="tc_" + tag)
+        outdir = trainvali.main(["--config", ini])
+        scalars = join(outdir, "summary_train", "scalars.jsonl")
+        losses[tag] = [
+            json.loads(line)["value"] for line in open(scalars)
+            if json.loads(line)["tag"] == "loss_train"]
+    assert losses["compact"] == pytest.approx(losses["full"], rel=1e-6)
