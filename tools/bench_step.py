@@ -48,6 +48,10 @@ def main():
     p.add_argument("--cached_gt", action="store_true",
                    help="also time the cached-gt-feats step variant "
                         "(steady-state epochs >= 1 with lpips_cache_gt)")
+    p.add_argument("--take_compact_frac", type=float, default=0.0,
+                   help="forward-take compaction capacity fraction "
+                        "(cached-statics variant only; "
+                        "ops/resample.make_plan compact_rows)")
     args = p.parse_args()
 
     import jax
@@ -66,6 +70,9 @@ def main():
         model = _make_model(args.res, args.res, args.depth, args.bs,
                             loss=loss,
                             compute_dtype=args.compute_dtype)
+        if args.take_compact_frac > 0:
+            model.config.set(
+                "take_compact_frac", args.take_compact_frac)
         if args.lpips_max_res is not None:
             for _, term in model.wloss:
                 if hasattr(term, "max_res"):
