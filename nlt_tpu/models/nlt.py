@@ -275,7 +275,9 @@ class Model(BaseModel):
             # and cached in HBM; only the window take + weighted
             # combine (and its Pallas-scatter VJP) run per step.
             pred_camspc = resample_mod.resample_planned(
-                pred_c, plan, out_hw=(warp.shape[1], warp.shape[2]))
+                pred_c, plan, out_hw=(warp.shape[1], warp.shape[2]),
+                compact_route=self.config.get(
+                    "take_compact_route", "take"))
         else:
             pred_camspc = resample_mod.resample(
                 pred_c, warp, impl=self.resample_impl)

@@ -311,6 +311,38 @@ def _expand_rows_bwd(n_out, dest, g):
 _expand_rows.defvjp(_expand_rows_fwd, _expand_rows_bwd)
 
 
+# Take-based reconstruction: the scatter-set above measures ~25 ms at
+# 0.58M updates in-program on this backend (the same in-program
+# scatter pathology the Pallas kernel exists for), while a flat narrow
+# take of the FULL grid from the compact rows costs ~4.7 ms. `inv`
+# maps every output position to its compact slot + 1 (0 = the zeros
+# row: dead/background queries); the backward is the same dest-take as
+# the scatter route's.
+
+
+@jax.custom_vjp
+def _expand_rows_take(vals, inv, dest):
+    """vals: (K, C); inv: (n_out,) in [0, K] (0 = zero row); dest:
+    (K,) output positions (dump = n_out) used only by the VJP."""
+    vals_ext = jnp.concatenate(
+        [jnp.zeros((1, vals.shape[1]), vals.dtype), vals], axis=0)
+    return jnp.take(vals_ext, inv, axis=0)
+
+
+def _expand_rows_take_fwd(vals, inv, dest):
+    return _expand_rows_take(vals, inv, dest), (inv.shape[0], dest)
+
+
+def _expand_rows_take_bwd(res, g):
+    n_out, dest = res
+    g_ext = jnp.concatenate(
+        [g, jnp.zeros((1, g.shape[1]), g.dtype)], axis=0)
+    return jnp.take(g_ext, dest, axis=0), None, None
+
+
+_expand_rows_take.defvjp(_expand_rows_take_fwd, _expand_rows_take_bwd)
+
+
 def make_plan(warp, h, w, zero_grad_texel=None, compact_rows=None):
     """Precompute the warp-only parts of resample() for a (h, w, C)
     source: per-example window-base rows, per-SLOT bilinear weights
@@ -346,15 +378,33 @@ def make_plan(warp, h, w, zero_grad_texel=None, compact_rows=None):
             every query row, the plan keeps only the LIVE queries
             (those whose gradient survives — exactly the `dead` mask
             below), padded to K, and resample_planned gathers/combines
-            just those, scatter-setting them back into the full output
-            grid. Correct ONLY when the caller zeroes the
-            zero_grad_texel's value before resampling (the NLT model
-            always blacks (0, 0) first): a dead query's forward
-            contribution is then exactly 0, which is what the
-            reconstruction fills. If an example has more live queries
-            than K, the plan records the overflow in `clive` (host
-            check: parallel/feat_cache.insert refuses) — a silent
-            truncation would corrupt outputs.
+            just those, reconstructing the full output grid. Correct
+            ONLY when the caller zeroes the zero_grad_texel's value
+            before resampling (the NLT model always blacks (0, 0)
+            first): a dead query's forward contribution is then
+            exactly 0, which is what the reconstruction fills. If an
+            example has more live queries than K, the plan records the
+            overflow in `clive` (host check:
+            parallel/feat_cache.insert refuses) — a silent truncation
+            would corrupt outputs.
+
+            MEASURED AND REJECTED as a default (knob kept, off): full
+            cached-statics barron step, bs 4 x 512^2, f32, honest
+            slope timing on v5e. Baseline 33.86 ms at 50% coverage /
+            32.46 at 30%. Compacted via scatter-set reconstruction:
+            58.78 ms (the in-program XLA scatter pathology: 25.0 ms
+            standalone for the 0.58M-row set). Compacted via
+            take-expand reconstruction: 38.04 ms at 50% / 33.30 at
+            30%. Per-op decomposition (standalone): the compaction
+            saves (1-cov) of the wide take (6.78 -> 4.00 ms at 50%)
+            plus the combine, but the reconstruction's two narrow
+            takes (full-grid expand 4.68 ms fwd + live-row grad take
+            ~2.3 ms bwd) cost MORE than that at any realistic
+            coverage — and the backward scatter never stood to gain,
+            because the plan already drops dead updates. The idea
+            only breaks even if reconstruction is free, i.e. fused
+            into the consumer — the whole-network mega-kernel
+            CLAUDE.md already flags as not-VMEM-feasible at 512^2.
 
     Returns:
         dict of per-example arrays (leading dim N, HBM-cacheable):
@@ -431,8 +481,18 @@ def make_plan(warp, h, w, zero_grad_texel=None, compact_rows=None):
             * (h * w), -1)
         routed, lo, hi = scatter_pallas.make_plan(
             cbase.reshape(-1), n * h * w, n)
+        # Inverse map for take-based reconstruction: output position ->
+        # example-local compact slot + 1 (0 = background/dead). Padding
+        # slots write to a dump column that is sliced away.
+        col = jnp.where(valid, cpos, hw_q)
+        slots = jnp.broadcast_to(
+            jnp.arange(compact_rows, dtype=jnp.int32)[None, :] + 1,
+            col.shape)
+        cinv = jnp.zeros((n, hw_q + 1), jnp.int32).at[
+            jnp.arange(n)[:, None], col].set(slots)[:, :hw_q]
         return {"crows": crows, "cwslot": cwslot, "cpos": cpos,
-                "clive": clive, "routed": routed, "lo": lo, "hi": hi}
+                "cinv": cinv, "clive": clive,
+                "routed": routed, "lo": lo, "hi": hi}
 
     base_global = (rows + jnp.arange(n, dtype=jnp.int32)[:, None, None]
                    * (h * w))
@@ -442,21 +502,25 @@ def make_plan(warp, h, w, zero_grad_texel=None, compact_rows=None):
             "routed": routed, "lo": lo, "hi": hi}
 
 
-def resample_planned(img, plan, out_hw=None):
+def resample_planned(img, plan, out_hw=None, compact_route="take"):
     """resample(img, warp) with the warp-only work precomputed by
     make_plan(warp, h, w). Differentiable in img only.
 
     out_hw: (Ho, Wo) of the query grid — required for COMPACT plans
     (make_plan(compact_rows=...)), whose arrays no longer carry the
     spatial shape. Compact path: gather + combine only the live query
-    rows, then scatter-set them into the zeroed full grid (dead
-    queries' outputs are exactly 0 because the caller blacked the
-    zero_grad_texel; see make_plan)."""
+    rows, then reconstruct the full grid (dead queries' outputs are
+    exactly 0 because the caller blacked the zero_grad_texel; see
+    make_plan). compact_route: 'take' reconstructs by a flat narrow
+    take through the plan's inverse map (~4.7 ms at 4x512^2);
+    'scatter' scatter-sets the compact rows (~25 ms in-program on this
+    backend — kept for A/B)."""
     n, h, w, c = img.shape
     if "cpos" in plan:
         assert out_hw is not None, "compact plans need out_hw"
         ho, wo = out_hw
         crows = plan["crows"]  # (N, K)
+        kc = crows.shape[1]
         assert crows.shape[0] == n, "plan batch dim mismatch"
         table = _window_table(img).reshape(n * h * w, 4 * c)
         idx = crows + jnp.arange(n, dtype=jnp.int32)[:, None] * (h * w)
@@ -469,8 +533,17 @@ def resample_planned(img, plan, out_hw=None):
         dest = jnp.where(
             cpos < 0, n * ho * wo,
             cpos + jnp.arange(n, dtype=jnp.int32)[:, None] * (ho * wo))
-        out = _expand_rows(
-            out_c.reshape(-1, c), dest.reshape(-1), n * ho * wo)
+        if compact_route == "take":
+            cinv = plan["cinv"]  # (N, HoWo), slot+1, 0 = background
+            inv = jnp.where(
+                cinv > 0,
+                cinv + jnp.arange(n, dtype=jnp.int32)[:, None] * kc, 0)
+            out = _expand_rows_take(
+                out_c.reshape(-1, c), inv.reshape(-1), dest.reshape(-1))
+        else:
+            assert compact_route == "scatter", compact_route
+            out = _expand_rows(
+                out_c.reshape(-1, c), dest.reshape(-1), n * ho * wo)
         return out.reshape(n, ho, wo, c)
     rows = plan["rows"]
     assert rows.shape[0] == n, "plan batch dim mismatch"

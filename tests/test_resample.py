@@ -298,9 +298,12 @@ def test_compact_planned_matches_standard(rng):
     assert int(np.asarray(cplan["clive"]).max()) <= cap
 
     out = resample_mod.resample_planned(img, plan)
-    out_c = resample_mod.resample_planned(img, cplan, out_hw=(ho, wo))
-    np.testing.assert_allclose(
-        np.asarray(out_c), np.asarray(out), rtol=1e-6, atol=1e-6)
+    for route in ("take", "scatter"):
+        out_c = resample_mod.resample_planned(
+            img, cplan, out_hw=(ho, wo), compact_route=route)
+        np.testing.assert_allclose(
+            np.asarray(out_c), np.asarray(out), rtol=1e-6, atol=1e-6,
+            err_msg=route)
 
     # Image gradients (through set_left_top_corner, as the model does).
     def loss(im, p, kw):
@@ -309,9 +312,12 @@ def test_compact_planned_matches_standard(rng):
         return jnp.sum(jnp.sin(3.0 * r))
 
     g = jax.grad(loss)(img, plan, {})
-    g_c = jax.grad(loss)(img, cplan, {"out_hw": (ho, wo)})
-    np.testing.assert_allclose(
-        np.asarray(g_c), np.asarray(g), rtol=1e-5, atol=1e-6)
+    for route in ("take", "scatter"):
+        g_c = jax.grad(loss)(
+            img, cplan, {"out_hw": (ho, wo), "compact_route": route})
+        np.testing.assert_allclose(
+            np.asarray(g_c), np.asarray(g), rtol=1e-5, atol=1e-6,
+            err_msg=route)
 
 
 def test_compact_plan_overflow_refused():
