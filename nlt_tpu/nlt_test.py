@@ -147,6 +147,28 @@ def infer(model, state, dataset, feat_agg, outroot, report_every=10,
             _apply, out_shardings=mesh_mod.replicated(mesh))
     else:
         apply_jit = jax.jit(_apply)
+
+    # The tiled obs pyramid is loop-invariant per batch size; build it
+    # once per distinct bs (a per-batch replicate_tree would pay a
+    # device->host->device round trip per level per batch — seconds on
+    # tunneled deployments).
+    feat_host = [np.asarray(x) for x in feat_agg]
+    override_cache = {}
+
+    def get_override(bs):
+        ov = override_cache.get(bs)
+        if ov is None:
+            if mesh is not None:
+                from .parallel import mesh as mesh_mod
+                ov = mesh_mod.replicate_tree(
+                    mesh, [np.tile(x, (bs, 1, 1, 1))
+                           for x in feat_host])
+            else:
+                ov = [jnp.tile(jnp.asarray(x), (bs, 1, 1, 1))
+                      for x in feat_host]
+            override_cache[bs] = ov
+        return ov
+
     # Keep the remainder: every test view must be inferred.
     for batch_i, batch in enumerate(
             dataset.iterate(seed=0, drop_remainder=False)):
@@ -174,11 +196,10 @@ def infer(model, state, dataset, feat_agg, outroot, report_every=10,
                         mesh, arrays, replicate=True)
             else:
                 arrays = mesh_mod.shard_batch(mesh, arrays)
-            obs_override = mesh_mod.replicate_tree(
-                mesh, [jnp.tile(x, (bs, 1, 1, 1)) for x in feat_agg])
+            obs_override = get_override(bs)
         else:
             arrays = {k: jnp.asarray(v) for k, v in arrays.items()}
-            obs_override = [jnp.tile(x, (bs, 1, 1, 1)) for x in feat_agg]
+            obs_override = get_override(bs)
         to_vis = apply_jit(state["params"], arrays, obs_override)
         outdir = join(outroot, "batch%09d" % batch_i)
         if not is_mp or jax.process_index() == 0:

@@ -93,12 +93,21 @@ class Server:
 
     def _mesh_for(self, bs):
         """Data-axis mesh for this batch size (sharded mode), clamped
-        to the largest divisor of bs that fits the devices."""
+        to the largest divisor of bs that fits the devices. Multi-host:
+        ONE fixed mesh over all devices (clamping would orphan some
+        process's devices and make_mesh refuses); batches that don't
+        divide it replicate in _place instead."""
         if not self.shard:
             return None
+        from .parallel import mesh as mesh_mod
+        if jax.process_count() > 1:
+            mesh = self._meshes.get("mp")
+            if mesh is None:
+                mesh = mesh_mod.make_mesh()
+                self._meshes["mp"] = mesh
+            return mesh
         mesh = self._meshes.get(bs)
         if mesh is None:
-            from .parallel import mesh as mesh_mod
             mesh = mesh_mod.make_mesh(batch_size=bs)
             self._meshes[bs] = mesh
         return mesh
@@ -340,7 +349,6 @@ class ExportedServer:
             exp = jax_export.deserialize(blob)
             self._programs[int(self.meta["bs"])] = (
                 self.meta["fields"], exp)
-            platforms = exp.platforms
         elif fmt == "nlt_tpu.serve.export.v2":
             off = 0
             for prog in self.meta["programs"]:
@@ -348,15 +356,17 @@ class ExportedServer:
                     blob[off:off + prog["size"]])
                 off += prog["size"]
                 self._programs[int(prog["bs"])] = (prog["fields"], exp)
-            platforms = exp.platforms
         else:
             raise AssertionError(
                 "Not a serve-export artifact: %s" % path)
+        # Per PROGRAM: export()'s per-bs fallback can leave one bs
+        # single-platform while the others are multi-platform.
         backend = jax.default_backend()
-        if backend not in platforms:
-            logger.warn(
-                "Artifact was exported for %s; current backend is %s",
-                platforms, backend)
+        for bs, (_, exp) in sorted(self._programs.items()):
+            if backend not in exp.platforms:
+                logger.warn(
+                    "Program for bs=%d was exported for %s; current "
+                    "backend is %s", bs, exp.platforms, backend)
 
     @property
     def batch_sizes(self):

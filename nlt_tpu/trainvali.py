@@ -582,10 +582,16 @@ def main(argv=None):
         process exit (the preemption path returns mid-epoch)."""
         if place_pool is not None:
             place_pool.shutdown(wait=False, cancel_futures=True)
+            import atexit
+            atexit.unregister(shutdown_place_pool)
 
-    # Exceptions/interpreter exit also release the worker.
-    import atexit
-    atexit.register(shutdown_place_pool)
+    if place_pool is not None:
+        # Exceptions/interpreter exit also release the worker; every
+        # normal/preempt return calls shutdown_place_pool, which
+        # unregisters itself — repeated main() calls (test suites,
+        # notebooks) don't accumulate callbacks.
+        import atexit
+        atexit.register(shutdown_place_pool)
 
     def placed_batches(batch_iter):
         """Yield place(batch) results, keeping up to prefetch_depth

@@ -43,12 +43,18 @@ def main():
     cached1 = server.predict(batch, ids=batch["id"])
     cached2 = server.predict(batch, ids=batch["id"])  # cache hits
 
+    # Remainder batch: bs that does NOT divide the data axis must take
+    # the replicate path, not crash (every host computes it redundantly).
+    batch3 = {k: v[:3] for k, v in batch.items()}
+    rem = server.predict(batch3)
+
     if jax.process_index() == 0:
         np.savez(
             args.out,
             streamed=streamed["pred_camspc"],
             cached=cached1["pred_camspc"],
             cached_repeat=cached2["pred_camspc"],
+            remainder=rem["pred_camspc"],
             cache_hits=np.asarray(server._input_cache.hits))
     # All hosts leave together (host 0 writes before the barrier).
     from jax.experimental import multihost_utils

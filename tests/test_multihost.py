@@ -490,5 +490,8 @@ def test_multiprocess_serve_identical(tmp_path, scene_root):
     np.testing.assert_array_equal(got["streamed"], ref["streamed"])
     np.testing.assert_array_equal(got["cached"], ref["streamed"])
     np.testing.assert_array_equal(got["cached_repeat"], ref["streamed"])
+    # Remainder batch (bs=3 over a 4-device data axis) replicated
+    # instead of crashing, and matches the full batch's first rows.
+    np.testing.assert_array_equal(got["remainder"], ref["streamed"][:3])
     # The repeat query really came from the device input cache.
     assert int(got["cache_hits"]) > 0

@@ -90,6 +90,16 @@ def main():
             extract = train_mod.make_static_extractor(model)
             statics = extract(state["params"], batch)
             jax.block_until_ready(statics)
+            # The trainvali path's overflow guard lives in
+            # feat_cache.insert; this bench bypasses the cache, so
+            # check here — a truncated compact plan would time a
+            # smaller, WRONG computation.
+            plan = statics.get("products", {}).get("pred_plan", {})
+            if "clive" in plan:
+                assert (int(np.asarray(plan["clive"]).max())
+                        <= plan["cpos"].shape[1]), (
+                    "take_compact_frac capacity below this coverage's "
+                    "live-query count; the A/B would be bogus")
             variants.append((" [cached statics]", step_cached, (statics,)))
 
         for tag, fn, extra in variants:
