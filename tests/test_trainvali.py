@@ -588,3 +588,27 @@ def test_trainvali_take_compact_losses_equal(tmp_path, scene_root):
             json.loads(line)["value"] for line in open(scalars)
             if json.loads(line)["tag"] == "loss_train"]
     assert losses["compact"] == pytest.approx(losses["full"], rel=1e-6)
+
+
+def test_trainvali_on_torus_regime_scene(tmp_path):
+    """The full driver trains on the dragon-REGIME data contract
+    (multi-island atlas, splat-holed UV buffers, discontinuous warps
+    — data_gen/synthesize.py --shape=torus): losses finite and
+    decreasing, vis written. Guards the pipeline against regressions
+    that only benign single-chart data would hide."""
+    from nlt_tpu import trainvali
+    root = str(tmp_path / "torus")
+    subprocess.run(
+        [sys.executable, join(REPO, "data_gen", "synthesize.py"),
+         "--outroot", root, "--n_cams", "3", "--n_lights", "3",
+         "--n_test", "2", "--imh", "32", "--uvs", "32",
+         "--shape", "torus"],
+        check=True, capture_output=True)
+    ini = write_ini(tmp_path, root, epochs=2, xname="torusrun")
+    outdir = trainvali.main(["--config", ini])
+    scalars = join(outdir, "summary_train", "scalars.jsonl")
+    losses = [json.loads(l)["value"] for l in open(scalars)
+              if json.loads(l)["tag"] == "loss_train"]
+    assert len(losses) == 2 and all(np.isfinite(v) for v in losses)
+    assert losses[1] < losses[0], losses
+    assert glob(join(outdir, "vis_vali", "epoch*", "batch*", "*_pred.png"))
