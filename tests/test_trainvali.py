@@ -308,6 +308,27 @@ def test_serve_sharded_matches_unsharded(trained):
     stats = sh.benchmark(batch, n=3, ids=batch["id"])
     assert stats["fps"] > 0
 
+    # Tile-sharded serving: each request's image ROWS split over a
+    # (1, n_devices) mesh — the bs-1 latency lever. Predictions
+    # identical, streamed and through the device input cache.
+    tl = Server(join(outdir, "checkpoints"), shard="tile")
+    tl.precompute_obs(n_obs_batches=1)
+    batch1 = {k: v[:1] for k, v in batch.items()}
+    want1 = ref.predict(batch1)
+    got_t = tl.predict(batch1)
+    np.testing.assert_allclose(
+        got_t["pred_camspc"], want1["pred_camspc"],
+        rtol=1e-6, atol=1e-6)
+    assert tl._meshes["tile"].shape["tile"] > 1
+    got_tc = tl.predict(batch1, ids=batch1["id"])
+    np.testing.assert_allclose(
+        got_tc["pred_camspc"], want1["pred_camspc"],
+        rtol=1e-6, atol=1e-6)
+    got_tc2 = tl.predict(batch1, ids=batch1["id"])
+    np.testing.assert_array_equal(
+        got_tc2["pred_camspc"], got_tc["pred_camspc"])
+    assert tl._input_cache.hits >= 1
+
 
 def test_sigterm_checkpoints_and_resumes(tmp_path, scene_root):
     """Preemption safety: SIGTERM mid-training checkpoints after the
