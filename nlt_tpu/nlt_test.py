@@ -152,7 +152,7 @@ def infer(model, state, dataset, feat_agg, outroot, report_every=10,
     # once per distinct bs (a per-batch replicate_tree would pay a
     # device->host->device round trip per level per batch — seconds on
     # tunneled deployments).
-    feat_host = [np.asarray(x) for x in feat_agg]
+    feat_host = jax.device_get(list(feat_agg))
     override_cache = {}
 
     def get_override(bs):
@@ -203,7 +203,9 @@ def infer(model, state, dataset, feat_agg, outroot, report_every=10,
         to_vis = apply_jit(state["params"], arrays, obs_override)
         outdir = join(outroot, "batch%09d" % batch_i)
         if not is_mp or jax.process_index() == 0:
-            to_vis = {k: np.asarray(v) for k, v in to_vis.items()}
+            # Coalesced fetch: one transfer for all vis fields instead
+            # of a tunnel round trip per field.
+            to_vis = jax.device_get(dict(to_vis))
             to_vis["id"] = batch["id"]
             to_vis["nn_id"] = batch["nn_id"]
             model.vis_batch(to_vis, outdir, "test")

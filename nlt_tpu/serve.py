@@ -220,7 +220,9 @@ class Server:
         if self._predict is None or self._bs != bs:
             self._build(bs)
         out = self._predict(self.state["params"], arrays)
-        return {k: np.asarray(v) for k, v in out.items()}
+        # One coalesced device->host transfer: per-field np.asarray
+        # would pay a tunnel round trip per output field.
+        return jax.device_get(dict(out))
 
     def export(self, path, batch, bs_list=None):
         """AOT-export the serving program to a self-contained artifact:
@@ -323,7 +325,7 @@ class Server:
             self._build(bs)
         # Warmup + compile.
         out = self._predict(self.state["params"], arrays)
-        _ = {k: np.asarray(v) for k, v in out.items()}
+        _ = jax.device_get(dict(out))
 
         # Each timed request re-places the inputs like a server loop
         # would: a fresh host upload (ids=None) or a device-cache
@@ -333,7 +335,7 @@ class Server:
             t0 = time.perf_counter()
             out = self._predict(
                 self.state["params"], self._place(batch, ids))
-            _ = {k: np.asarray(v) for k, v in out.items()}
+            _ = jax.device_get(dict(out))
             lats.append(time.perf_counter() - t0)
         latency = float(np.median(lats))
 
@@ -341,9 +343,7 @@ class Server:
         outs = [self._predict(
             self.state["params"], self._place(batch, ids))
             for _ in range(n)]
-        for o in outs:
-            for v in o.values():
-                np.asarray(v)
+        jax.device_get(outs)
         dt = (time.perf_counter() - t0) / n
         return {"latency_s": latency, "throughput_batches_per_s": 1 / dt,
                 "fps": bs / dt}
@@ -409,7 +409,7 @@ class ExportedServer:
                 % (k, v.shape, v.dtype, shape, dtype))
             arrays[k] = v
         out = exp.call(arrays)
-        return {k: np.asarray(v) for k, v in out.items()}
+        return jax.device_get(dict(out))
 
 
 def main(argv=None):

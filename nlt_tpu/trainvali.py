@@ -487,16 +487,19 @@ def main(argv=None):
         packed = pack_vis(to_vis)
         ids = meta.get("id")
         statics_present = [k for k in _static_vis if k in packed]
+        # device_get fetches every field in one coalesced transfer;
+        # per-field np.asarray would pay a tunnel round trip each.
         if ids and all(i in vis_host_cache for i in ids):
-            out = {k: np.asarray(v) for k, v in packed.items()
-                   if k not in _static_vis}
+            out = jax.device_get(
+                {k: v for k, v in packed.items()
+                 if k not in _static_vis})
             for k in statics_present:
                 out[k] = np.stack(
                     [vis_host_cache[i][k] for i in ids])
             for i in ids:  # refresh recency
                 vis_host_cache[i] = vis_host_cache.pop(i)
         else:
-            out = {k: np.asarray(v) for k, v in packed.items()}
+            out = jax.device_get(dict(packed))
             if ids:
                 for j, i in enumerate(ids):
                     vis_host_cache.pop(i, None)  # re-insert as newest
@@ -715,11 +718,14 @@ def main(argv=None):
             logger.info(
                 "Profiler trace written to %s", join(outdir, "profile"))
         assert batch_time, "Dataset is empty"
-        # Sync once per epoch: realize the deferred losses. batch_time
-        # entries are async dispatch times; the honest per-batch figure
-        # is epoch wall time / batches.
-        jax.block_until_ready(batch_loss[-1])
-        batch_loss = [float(x) for x in batch_loss]
+        # Sync once per epoch: realize the deferred losses in ONE
+        # batched transfer. Per-scalar float() pays a full tunnel
+        # round trip EACH on remote PJRT clients (~23 ms measured,
+        # tools/bench_loop.py — 15 of them cost ~9 train steps);
+        # device_get on the list coalesces the fetches. batch_time
+        # entries are async dispatch times; the honest per-batch
+        # figure is epoch wall time / batches.
+        batch_loss = [float(x) for x in jax.device_get(batch_loss)]
         n_bad = sum(1 for x in batch_loss if not np.isfinite(x))
         if n_bad:
             logger.warn(
@@ -807,7 +813,10 @@ def main(argv=None):
                 loss, to_vis = eval_step(state, arrays)
                 if not is_host0:
                     continue
-                v_loss.append(float(loss))
+                # Deferred like the train losses (batched fetch below):
+                # a float() here would serialize every vali batch on a
+                # tunnel round trip.
+                v_loss.append(loss)
                 to_vis = fetch_vis(to_vis, meta)
                 v_vis.append(to_vis)
                 # Quantitative vali PSNR per epoch (the reference only
@@ -819,6 +828,7 @@ def main(argv=None):
                     for i in range(pd01.shape[0]):
                         v_psnr.append(model.psnr(gt01[i], pd01[i]))
             if is_host0:  # computation done everywhere; host 0 writes
+                v_loss = [float(x) for x in jax.device_get(v_loss)]
                 writer_vali.scalar(
                     "loss_vali", float(np.mean(v_loss)), step)
                 if v_psnr:
