@@ -40,11 +40,17 @@ logger = logutil.Logger(loggee="serve")
 
 class Server:
     def __init__(self, ckpt_dir, step=None, config=None, pack=None,
-                 shard=False):
+                 shard=False, fields=None):
         """pack: None returns float32 predictions; 'uint8' / 'float16'
         quantizes them ON DEVICE before the fetch (utils/img.pack_vis)
         — 4x / 2x less device->host traffic, the right choice for
         thin-host deployments feeding an 8-bit frame pipeline.
+
+        fields: which outputs to compute and return (subset of
+        {'pred_camspc', 'pred'}; default both). A camera-space-only
+        server halves the response bytes — on bandwidth-starved
+        links the fetch dominates repeat-query latency, so this is
+        the remaining lever after pack.
 
         shard: False = single-device (the reference's test-time
         shape); True or 'data' = shard request batches over a
@@ -63,6 +69,11 @@ class Server:
         self.model, self.state = restore_model(config, ckpt_dir, step=step)
         assert pack in (None, "uint8", "float16"), pack
         self.pack = pack
+        if fields is not None:
+            fields = tuple(fields)
+            assert fields and set(fields) <= {"pred_camspc", "pred"}, (
+                fields)
+        self.fields = fields
         assert shard in (False, True, "data", "tile"), shard
         self.shard = "data" if shard is True else shard
         if self.shard == "tile":
@@ -150,6 +161,8 @@ class Server:
                 "pred_camspc": to_vis["pred_camspc"],
                 "pred": to_vis["pred"],
             }
+            if self.fields is not None:
+                out = {k: out[k] for k in self.fields}
             if self.pack is not None:
                 out = imgutil.pack_vis(
                     out, linear_space=self.pack == "float16")
@@ -428,6 +441,10 @@ def main(argv=None):
                         "batches over all devices — throughput "
                         "serving; 'tile': shard each request's image "
                         "rows — latency serving for bs-1 queries")
+    p.add_argument("--fields", type=str, default=None,
+                   help="comma-separated output subset "
+                        "(pred_camspc,pred); fewer fields = fewer "
+                        "response bytes")
     p.add_argument("--export", type=str, default=None,
                    help="write a self-contained AOT serving artifact "
                         "(weights + obs pyramid baked in) to this "
@@ -438,7 +455,9 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     server = Server(args.ckpt, step=args.step, pack=args.pack,
-                    shard=args.shard)
+                    shard=args.shard,
+                    fields=(args.fields.split(",")
+                            if args.fields else None))
     server.precompute_obs(n_obs_batches=args.n_obs_batches)
 
     Dataset = datasets_mod.get_dataset_class(server.config.get("dataset"))

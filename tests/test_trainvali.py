@@ -228,6 +228,16 @@ def test_serve(trained):
         out8["pred_camspc"].astype(np.float32) / 255.0,
         np.clip(out["pred_camspc"], 0, 1), atol=1 / 255.0 + 1e-6)
 
+    # Output-field subset: camera-space-only responses halve the
+    # fetch bytes; values identical to the full server's.
+    camonly = Server(join(outdir, "checkpoints"),
+                     fields=["pred_camspc"])
+    camonly.precompute_obs(n_obs_batches=1)
+    outc = camonly.predict(batch)
+    assert set(outc) == {"pred_camspc"}
+    np.testing.assert_array_equal(outc["pred_camspc"],
+                                  out["pred_camspc"])
+
 
 def test_prefetch_losses_identical(tmp_path, scene_root):
     """The depth-1 placement prefetch (upload batch i+1 while batch i
