@@ -38,8 +38,10 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--ckpt", type=str, required=True,
                    help="path to <outdir>/checkpoints (directory)")
-    p.add_argument("--step", type=int, default=None,
-                   help="checkpoint step; default latest")
+    p.add_argument("--step", type=str, default=None,
+                   help="checkpoint step; an integer, or 'best' to "
+                        "select the epoch with the best logged "
+                        "psnr_vali; default latest")
     p.add_argument("--batch_size_override", type=int, default=None)
     p.add_argument("--n_obs_batches", type=int, default=1)
     p.add_argument("--fps", type=int, default=24)
@@ -236,6 +238,9 @@ def main(argv=None):
     if args.batch_size_override is not None:
         config.set("bs", args.batch_size_override)
 
+    # 'best' selects the epoch with the best logged psnr_vali among
+    # the checkpoints retention kept; numeric strings become ints.
+    args.step = ckpt_mod.resolve_step(args.ckpt, args.step)
     model, state = restore_model(config, args.ckpt, step=args.step)
 
     Dataset = datasets_mod.get_dataset_class(config.get("dataset"))

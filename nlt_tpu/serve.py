@@ -31,6 +31,7 @@ import numpy as np
 
 from . import datasets as datasets_mod
 from .nlt_test import extract_feat, get_config_ini, restore_model
+from .utils import checkpoint as ckpt_mod
 from .utils import config as config_mod
 from .utils import img as imgutil
 from .utils import logging as logutil
@@ -66,6 +67,9 @@ class Server:
         if config is None:
             config = config_mod.read_config(get_config_ini(ckpt_dir))
         self.config = config
+        # step: int, None (latest), or 'best' (best logged psnr_vali
+        # among retained checkpoints; utils/checkpoint.resolve_step).
+        step = ckpt_mod.resolve_step(ckpt_dir, step)
         self.model, self.state = restore_model(config, ckpt_dir, step=step)
         assert pack in (None, "uint8", "float16"), pack
         self.pack = pack
@@ -428,7 +432,9 @@ class ExportedServer:
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--ckpt", type=str, required=True)
-    p.add_argument("--step", type=int, default=None)
+    p.add_argument("--step", type=str, default=None,
+                   help="checkpoint step: integer, or 'best' (best "
+                        "logged psnr_vali among retained checkpoints)")
     p.add_argument("--bs", type=int, default=1)
     p.add_argument("--n_obs_batches", type=int, default=1)
     p.add_argument("--pack", type=str, default=None,

@@ -66,3 +66,73 @@ class CheckpointManager:
 
     def close(self):
         self._mgr.close()
+
+
+def best_step(ckpt_dir, available, metric="psnr_vali"):
+    """The available checkpoint step with the best logged validation
+    metric (trainvali's JSONL scalars under <outdir>/summary_vali/).
+    Returns (step, value), or None when no series exists. Retention
+    (keep_recent_epochs) may have evicted the global best — selection
+    is over checkpoints that still exist, with a warning when a better
+    evicted epoch is on record. The reference has no checkpoint
+    selection at all (nlt_test restores whatever --ckpt names;
+    nlt/nlt_test.py:61-75)."""
+    import json
+    import os
+
+    outdir = str(ckpt_dir).rstrip("/").rsplit("/", 1)[0]
+    path = os.path.join(outdir, "summary_vali", "scalars.jsonl")
+    if not os.path.isfile(path):
+        return None
+    series = {}
+    with open(path) as h:
+        for line in h:
+            try:
+                r = json.loads(line)
+            except ValueError:
+                continue
+            if r.get("tag") == metric and "value" in r:
+                series[int(r["step"])] = float(r["value"])  # last wins
+    if not series:
+        return None
+    finite = {s: v for s, v in series.items() if np.isfinite(v)}
+    if not finite:
+        return None
+    avail = {int(s) for s in (available or [])}
+    reachable = {s: v for s, v in finite.items() if s in avail}
+    if not reachable:
+        return None
+    step, value = max(reachable.items(), key=lambda kv: kv[1])
+    global_step, global_value = max(
+        finite.items(), key=lambda kv: kv[1])
+    if global_step not in avail and global_value > value:
+        logger.warn(
+            "Best %s epoch %d (%.3f) was evicted by retention; using "
+            "best REMAINING checkpoint %d (%.3f). Raise "
+            "keep_recent_epochs to keep more.", metric, global_step,
+            global_value, step, value)
+    return step, value
+
+
+def resolve_step(ckpt_dir, step, metric="psnr_vali"):
+    """CLI step spec -> concrete step: None stays None (latest),
+    'best' selects by the logged vali metric (falling back to latest
+    with a warning when no series is on disk), numeric strings become
+    ints."""
+    if step is None:
+        return None
+    if isinstance(step, str) and step.lower() == "best":
+        mgr = CheckpointManager(ckpt_dir)
+        try:
+            picked = best_step(ckpt_dir, mgr.all_steps(), metric=metric)
+        finally:
+            mgr.close()
+        if picked is None:
+            logger.warn(
+                "--step=best: no %s series under %s; using latest",
+                metric, ckpt_dir)
+            return None
+        logger.info("--step=best resolved to step %d (%s %.3f)",
+                    picked[0], metric, picked[1])
+        return picked[0]
+    return int(step)

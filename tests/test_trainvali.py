@@ -147,6 +147,43 @@ def test_nlt_test_inference(trained):
     assert md["id"].startswith("test_")
 
 
+def test_best_step_selection(tmp_path, trained):
+    """--step=best picks the retained checkpoint with the best logged
+    psnr_vali; evicted-global-best and no-series cases degrade sanely."""
+    from nlt_tpu.utils import checkpoint as ckpt_mod
+
+    outdir = tmp_path / "xp"
+    (outdir / "summary_vali").mkdir(parents=True)
+    ckpt_dir = outdir / "checkpoints"
+    ckpt_dir.mkdir()
+    with open(outdir / "summary_vali" / "scalars.jsonl", "w") as h:
+        for step, v in [(1, 20.0), (2, 25.0), (3, 23.0),
+                        (4, float("nan")), (5, 24.0)]:
+            h.write(json.dumps(
+                {"tag": "psnr_vali", "value": v, "step": step}) + "\n")
+        h.write(json.dumps(
+            {"tag": "loss_vali", "value": -1.0, "step": 5}) + "\n")
+    assert ckpt_mod.best_step(str(ckpt_dir), [1, 2, 3, 4, 5]) == (2, 25.0)
+    # Retention evicted the global best: best REMAINING wins (warned).
+    assert ckpt_mod.best_step(str(ckpt_dir), [3, 4, 5]) == (5, 24.0)
+    assert ckpt_mod.best_step(str(ckpt_dir), []) is None
+    # resolve_step passthroughs + no-series fallback.
+    assert ckpt_mod.resolve_step(str(ckpt_dir), None) is None
+    assert ckpt_mod.resolve_step(str(ckpt_dir), "7") == 7
+    assert ckpt_mod.resolve_step(str(ckpt_dir), 7) == 7
+    assert ckpt_mod.resolve_step(str(ckpt_dir), "best") is None  # no ckpts
+
+    # End to end on a real trained outdir: 'best' resolves to a step
+    # the manager can restore.
+    _, _, trained_outdir = trained
+    tck = join(trained_outdir, "checkpoints")
+    mgr = ckpt_mod.CheckpointManager(tck)
+    steps = mgr.all_steps()
+    mgr.close()
+    picked = ckpt_mod.resolve_step(tck, "best")
+    assert picked in steps
+
+
 def test_resume_preserves_vis_retention(tmp_path, scene_root):
     """keep_recent_epochs retention survives a resume: the vis queues
     are seeded from the dirs on disk, so a restart must not wipe the
