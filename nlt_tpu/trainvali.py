@@ -56,6 +56,15 @@ def parse_args(argv=None):
                    help="a .ini file in nlt_tpu/config/ or a full path")
     p.add_argument("--debug", action="store_true",
                    help="truncate every epoch after one batch")
+    p.add_argument("--set", action="append", default=[],
+                   dest="overrides", metavar="KEY=VALUE",
+                   help="override a config key (repeatable), e.g. "
+                        "--set epochs=250 --set n_obs=3. Overrides "
+                        "apply before xname expansion, and the "
+                        "EFFECTIVE config is snapshotted next to the "
+                        "outdir, so nlt_test/serve see them. (The "
+                        "reference's only per-run knobs are its three "
+                        "fixed flags; nlt/trainvali.py:38-43.)")
     p.add_argument("--device", type=str, default="auto",
                    choices=["auto", "cpu", "tpu"],
                    help="cpu forces the host backend")
@@ -224,6 +233,11 @@ def main(argv=None):
         pass  # non-main thread (embedded use): no handler
 
     config = config_mod.read_config(config_ini)
+    for kv in args.overrides:
+        assert "=" in kv, (
+            "--set expects KEY=VALUE, got %r" % kv)
+        k, v = kv.split("=", 1)
+        config.set(k.strip(), v.strip())
 
     # Multi-host preemption agreement: all processes must reach the
     # collective save together, so the exit decision is agreed via a
@@ -258,7 +272,13 @@ def main(argv=None):
         # Host 0 owns outdir preparation: a concurrent rmtree from
         # every host of a pod slice would race the others' writes.
         ioutil.prepare_outdir(outdir, overwrite=overwrite)
-        copyfile(config_ini, outdir.rstrip("/") + ".ini")
+        if args.overrides:
+            # Snapshot the EFFECTIVE config (the ckpt->ini contract
+            # nlt_test/serve restore from must include the overrides).
+            config.save(outdir.rstrip("/") + ".ini")
+        else:
+            # Plain copy preserves the source file's comments.
+            copyfile(config_ini, outdir.rstrip("/") + ".ini")
     if is_multiprocess:
         # Everyone waits for host 0's (possibly destructive) prep
         # before touching the shared tree.

@@ -230,6 +230,22 @@ def test_debug_flag_truncates(tmp_path, scene_root):
     assert any(r["tag"] == "loss_train" for r in recs)
 
 
+def test_cli_overrides(tmp_path, scene_root):
+    """--set overrides config keys before xname expansion and the
+    outdir snapshot records the EFFECTIVE config (the ckpt->ini
+    contract nlt_test/serve restore from)."""
+    from nlt_tpu import trainvali
+    from nlt_tpu.utils import config as config_mod
+    ini = write_ini(tmp_path, scene_root, xname="ov_lr:{lr}")
+    outdir = trainvali.main([
+        "--config", ini, "--debug",
+        "--set", "lr=5e-4", "--set", "epochs=1"])
+    assert outdir.endswith("ov_lr:5e-4")  # xname saw the override
+    snap = config_mod.read_config(outdir.rstrip("/") + ".ini")
+    assert snap.get("lr") == "5e-4"
+    assert snap.get_int("epochs") == 1
+
+
 def test_serve(trained):
     """Serving path: restore, precompute obs features, warm predict."""
     from nlt_tpu.serve import Server
