@@ -74,7 +74,7 @@ class Server:
         assert pack in (None, "uint8", "float16"), pack
         self.pack = pack
         if fields is not None:
-            fields = tuple(fields)
+            fields = tuple(f.strip() for f in fields)
             assert fields and set(fields) <= {"pred_camspc", "pred"}, (
                 fields)
         self.fields = fields

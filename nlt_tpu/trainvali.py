@@ -233,11 +233,60 @@ def main(argv=None):
         pass  # non-main thread (embedded use): no handler
 
     config = config_mod.read_config(config_ini)
-    for kv in args.overrides:
-        assert "=" in kv, (
-            "--set expects KEY=VALUE, got %r" % kv)
-        k, v = kv.split("=", 1)
-        config.set(k.strip(), v.strip())
+    base_dict = dict(config.to_dict())
+
+    def apply_overrides(cfg):
+        for kv in args.overrides:
+            assert "=" in kv, (
+                "--set expects KEY=VALUE, got %r" % kv)
+            k, v = kv.split("=", 1)
+            cfg.set(k.strip(), v.strip())
+
+    apply_overrides(config)
+
+    # Output directory from the xname template
+    # (reference: trainvali.py:62-71).
+    xname = config.xname()
+    outroot = config.get("outroot")
+    outdir = join(outroot, xname)
+    overwrite = config.get_bool("overwrite")
+    snapshot_f = outdir.rstrip("/") + ".ini"
+    if not overwrite and os.path.isfile(snapshot_f):
+        # Resuming an existing run: the outdir snapshot IS the run's
+        # effective config — a run started with --set overrides must
+        # not silently continue under the base ini when the resume
+        # command omits them (the checkpoint was trained under the
+        # snapshot). This run's own --set still wins on top.
+        snap = config_mod.read_config(snapshot_f)
+        apply_overrides(snap)
+        if snap.to_dict() != config.to_dict():
+            changed = sorted(
+                k for k in set(snap.to_dict()) | set(config.to_dict())
+                if snap.to_dict().get(k) != config.to_dict().get(k))
+            logger.warn(
+                "Resuming with the outdir's recorded config where it "
+                "differs from --config/--set (keys: %s):\n\t%s",
+                ", ".join(changed), snapshot_f)
+            config = snap
+    if jax.process_index() == 0:
+        # Host 0 owns outdir preparation: a concurrent rmtree from
+        # every host of a pod slice would race the others' writes.
+        ioutil.prepare_outdir(outdir, overwrite=overwrite)
+        if config.to_dict() == base_dict:
+            # Plain copy preserves the source file's comments.
+            copyfile(config_ini, snapshot_f)
+        else:
+            # Snapshot the EFFECTIVE config (the ckpt->ini contract
+            # nlt_test/serve restore from must include overrides and
+            # resumed-run reconciliation).
+            config.save(snapshot_f)
+    if is_multiprocess:
+        # Everyone waits for host 0's (possibly destructive) prep
+        # before touching the shared tree.
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("nlt_tpu:outdir_prep")
+        os.makedirs(outdir, exist_ok=True)
+    logger.info("For results, see:\n\t%s", outdir)
 
     # Multi-host preemption agreement: all processes must reach the
     # collective save together, so the exit decision is agreed via a
@@ -261,31 +310,6 @@ def main(argv=None):
             stop = bool(np.max(multihost_utils.process_allgather(
                 np.asarray([stop], np.int32))))
         return stop
-
-    # Output directory from the xname template
-    # (reference: trainvali.py:62-71).
-    xname = config.xname()
-    outroot = config.get("outroot")
-    outdir = join(outroot, xname)
-    overwrite = config.get_bool("overwrite")
-    if jax.process_index() == 0:
-        # Host 0 owns outdir preparation: a concurrent rmtree from
-        # every host of a pod slice would race the others' writes.
-        ioutil.prepare_outdir(outdir, overwrite=overwrite)
-        if args.overrides:
-            # Snapshot the EFFECTIVE config (the ckpt->ini contract
-            # nlt_test/serve restore from must include the overrides).
-            config.save(outdir.rstrip("/") + ".ini")
-        else:
-            # Plain copy preserves the source file's comments.
-            copyfile(config_ini, outdir.rstrip("/") + ".ini")
-    if is_multiprocess:
-        # Everyone waits for host 0's (possibly destructive) prep
-        # before touching the shared tree.
-        from jax.experimental import multihost_utils
-        multihost_utils.sync_global_devices("nlt_tpu:outdir_prep")
-        os.makedirs(outdir, exist_ok=True)
-    logger.info("For results, see:\n\t%s", outdir)
 
     # grad_accum=N scans N sequential microbatches of bs/N inside the
     # jitted step and applies ONE averaged update — the bs gradient at

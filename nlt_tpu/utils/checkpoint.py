@@ -68,6 +68,18 @@ class CheckpointManager:
         self._mgr.close()
 
 
+def _vali_scalars_path(ckpt_dir, metric_split="vali"):
+    """<outdir>/checkpoints -> <outdir>/summary_vali/scalars.jsonl.
+    abspath first: a relative --ckpt with no separator ('checkpoints'
+    from inside the outdir) must resolve to its parent, not itself."""
+    import os
+
+    outdir = os.path.dirname(
+        os.path.abspath(str(ckpt_dir).rstrip("/")))
+    return os.path.join(
+        outdir, "summary_%s" % metric_split, "scalars.jsonl")
+
+
 def best_step(ckpt_dir, available, metric="psnr_vali"):
     """The available checkpoint step with the best logged validation
     metric (trainvali's JSONL scalars under <outdir>/summary_vali/).
@@ -80,8 +92,7 @@ def best_step(ckpt_dir, available, metric="psnr_vali"):
     import json
     import os
 
-    outdir = str(ckpt_dir).rstrip("/").rsplit("/", 1)[0]
-    path = os.path.join(outdir, "summary_vali", "scalars.jsonl")
+    path = _vali_scalars_path(ckpt_dir)
     if not os.path.isfile(path):
         return None
     series = {}
@@ -115,11 +126,18 @@ def best_step(ckpt_dir, available, metric="psnr_vali"):
 
 
 def resolve_step(ckpt_dir, step, metric="psnr_vali"):
-    """CLI step spec -> concrete step: None stays None (latest),
-    'best' selects by the logged vali metric (falling back to latest
-    with a warning when no series is on disk), numeric strings become
-    ints."""
+    """CLI step spec -> concrete step: None/'latest' stays None
+    (latest), 'best' selects by the logged vali metric (falling back
+    to latest with a warning when nothing is selectable), numeric
+    strings become ints. Multi-process: every process resolves, then
+    host 0's answer is broadcast — per-host divergence (e.g. a scalar
+    log visible only where host 0 wrote it) would silently mix
+    checkpoints across the sharded computation."""
+    import os
+
     if step is None:
+        return None
+    if isinstance(step, str) and step.lower() == "latest":
         return None
     if isinstance(step, str) and step.lower() == "best":
         mgr = CheckpointManager(ckpt_dir)
@@ -128,11 +146,36 @@ def resolve_step(ckpt_dir, step, metric="psnr_vali"):
         finally:
             mgr.close()
         if picked is None:
-            logger.warn(
-                "--step=best: no %s series under %s; using latest",
-                metric, ckpt_dir)
-            return None
-        logger.info("--step=best resolved to step %d (%s %.3f)",
-                    picked[0], metric, picked[1])
-        return picked[0]
-    return int(step)
+            if not os.path.isfile(_vali_scalars_path(ckpt_dir)):
+                logger.warn(
+                    "--step=best: no vali scalar log at %s; using "
+                    "latest", _vali_scalars_path(ckpt_dir))
+            else:
+                logger.warn(
+                    "--step=best: a vali scalar log exists but no "
+                    "logged epoch matches a retained checkpoint under "
+                    "%s (pointing at a different run's checkpoints? "
+                    "every scored epoch evicted?); using latest",
+                    ckpt_dir)
+        else:
+            logger.info("--step=best resolved to step %d (%s %.3f)",
+                        picked[0], metric, picked[1])
+        resolved = None if picked is None else picked[0]
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            agreed = int(multihost_utils.broadcast_one_to_all(
+                np.asarray(-1 if resolved is None else resolved,
+                           np.int32)))
+            if ((agreed if agreed >= 0 else None) != resolved):
+                logger.warn(
+                    "--step=best: host 0 resolved step %s; this "
+                    "process had %s — using host 0's", agreed,
+                    resolved)
+            resolved = None if agreed < 0 else agreed
+        return resolved
+    try:
+        return int(step)
+    except (TypeError, ValueError):
+        raise ValueError(
+            "--step must be an integer, 'best', or 'latest'; got %r"
+            % (step,))

@@ -395,10 +395,14 @@ def test_multiprocess_nlt_test_frames_identical(tmp_path, scene_root):
     outdir = _trained_ckpt(tmp_path, scene_root, tag="mptest")
     ckpt = join(outdir, "checkpoints")
 
+    # --step best in both runs: the multi-process path must resolve
+    # checkpoint selection identically on every host (host-0
+    # broadcast; utils/checkpoint.resolve_step) or params would
+    # silently diverge across shards.
     def run_single():
         subprocess.run(
             [sys.executable, "-m", "nlt_tpu.nlt_test", "--ckpt", ckpt,
-             "--device", "cpu"],
+             "--step", "best", "--device", "cpu"],
             env=_mp_env(), cwd=REPO, check=True, capture_output=True,
             timeout=600)
 
@@ -411,7 +415,7 @@ def test_multiprocess_nlt_test_frames_identical(tmp_path, scene_root):
     procs = [
         subprocess.Popen(
             [sys.executable, "-m", "nlt_tpu.nlt_test", "--ckpt", ckpt,
-             "--device", "cpu",
+             "--step", "best", "--device", "cpu",
              "--coordinator_address", "127.0.0.1:%d" % port,
              "--num_processes", "2", "--process_id", str(i)],
             env=_mp_env(), cwd=REPO,

@@ -169,9 +169,22 @@ def test_best_step_selection(tmp_path, trained):
     assert ckpt_mod.best_step(str(ckpt_dir), []) is None
     # resolve_step passthroughs + no-series fallback.
     assert ckpt_mod.resolve_step(str(ckpt_dir), None) is None
+    assert ckpt_mod.resolve_step(str(ckpt_dir), "latest") is None
     assert ckpt_mod.resolve_step(str(ckpt_dir), "7") == 7
     assert ckpt_mod.resolve_step(str(ckpt_dir), 7) == 7
     assert ckpt_mod.resolve_step(str(ckpt_dir), "best") is None  # no ckpts
+    with pytest.raises(ValueError, match="'best', or 'latest'"):
+        ckpt_mod.resolve_step(str(ckpt_dir), "bset")
+
+    # Relative --ckpt with no path separator (run from inside the
+    # outdir) must still find ../summary_vali.
+    cwd = os.getcwd()
+    try:
+        os.chdir(outdir)
+        assert ckpt_mod.best_step("checkpoints", [1, 2, 3, 4, 5]) == (
+            2, 25.0)
+    finally:
+        os.chdir(cwd)
 
     # End to end on a real trained outdir: 'best' resolves to a step
     # the manager can restore.
@@ -244,6 +257,19 @@ def test_cli_overrides(tmp_path, scene_root):
     snap = config_mod.read_config(outdir.rstrip("/") + ".ini")
     assert snap.get("lr") == "5e-4"
     assert snap.get_int("epochs") == 1
+
+    # Resume WITHOUT repeating --set: the run must continue under the
+    # outdir's recorded (overridden) config, not silently fall back
+    # to the base ini — and must not clobber the snapshot.
+    ini2 = write_ini(tmp_path, scene_root, xname="ovresume",
+                     overwrite=False)
+    out2 = trainvali.main([
+        "--config", ini2, "--debug", "--set", "lr=5e-4"])
+    snap2_f = out2.rstrip("/") + ".ini"
+    assert config_mod.read_config(snap2_f).get("lr") == "5e-4"
+    out2b = trainvali.main(["--config", ini2, "--debug"])
+    assert out2b == out2
+    assert config_mod.read_config(snap2_f).get("lr") == "5e-4"
 
 
 def test_serve(trained):
