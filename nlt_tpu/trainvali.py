@@ -252,22 +252,24 @@ def main(argv=None):
     overwrite = config.get_bool("overwrite")
     snapshot_f = outdir.rstrip("/") + ".ini"
     if not overwrite and os.path.isfile(snapshot_f):
-        # Resuming an existing run: the outdir snapshot IS the run's
-        # effective config — a run started with --set overrides must
-        # not silently continue under the base ini when the resume
-        # command omits them (the checkpoint was trained under the
-        # snapshot). This run's own --set still wins on top.
+        # Resuming an existing run: this command's config (base ini +
+        # --set) wins — edit-and-continue (e.g. raising `epochs`) is
+        # the reference's documented resume workflow — but any drift
+        # from the config the checkpoint was actually trained under
+        # (the outdir snapshot, e.g. a --set flag omitted on the
+        # resume command) is surfaced LOUDLY, not silently absorbed.
         snap = config_mod.read_config(snapshot_f)
-        apply_overrides(snap)
         if snap.to_dict() != config.to_dict():
             changed = sorted(
                 k for k in set(snap.to_dict()) | set(config.to_dict())
                 if snap.to_dict().get(k) != config.to_dict().get(k))
             logger.warn(
-                "Resuming with the outdir's recorded config where it "
-                "differs from --config/--set (keys: %s):\n\t%s",
+                "Resuming with a DIFFERENT config than this run was "
+                "started with (keys: %s; recorded snapshot: %s). "
+                "Continuing with the new values and updating the "
+                "snapshot — if unintended (e.g. a --set flag omitted "
+                "on resume), re-run with the recorded values.",
                 ", ".join(changed), snapshot_f)
-            config = snap
     if jax.process_index() == 0:
         # Host 0 owns outdir preparation: a concurrent rmtree from
         # every host of a pod slice would race the others' writes.

@@ -243,7 +243,7 @@ def test_debug_flag_truncates(tmp_path, scene_root):
     assert any(r["tag"] == "loss_train" for r in recs)
 
 
-def test_cli_overrides(tmp_path, scene_root):
+def test_cli_overrides(tmp_path, scene_root, capsys):
     """--set overrides config keys before xname expansion and the
     outdir snapshot records the EFFECTIVE config (the ckpt->ini
     contract nlt_test/serve restore from)."""
@@ -258,18 +258,27 @@ def test_cli_overrides(tmp_path, scene_root):
     assert snap.get("lr") == "5e-4"
     assert snap.get_int("epochs") == 1
 
-    # Resume WITHOUT repeating --set: the run must continue under the
-    # outdir's recorded (overridden) config, not silently fall back
-    # to the base ini — and must not clobber the snapshot.
+    # Resume WITHOUT repeating --set: edit-and-continue semantics —
+    # the new command's config wins (the reference's resume workflow
+    # re-reads the ini), but the drift from the recorded snapshot is
+    # warned LOUDLY and the snapshot is updated to the new effective
+    # config, never left stale.
     ini2 = write_ini(tmp_path, scene_root, xname="ovresume",
                      overwrite=False)
     out2 = trainvali.main([
         "--config", ini2, "--debug", "--set", "lr=5e-4"])
     snap2_f = out2.rstrip("/") + ".ini"
     assert config_mod.read_config(snap2_f).get("lr") == "5e-4"
+    capsys.readouterr()
     out2b = trainvali.main(["--config", ini2, "--debug"])
     assert out2b == out2
-    assert config_mod.read_config(snap2_f).get("lr") == "5e-4"
+    logged = capsys.readouterr().out
+    assert "DIFFERENT config" in logged and "lr" in logged
+    assert config_mod.read_config(snap2_f).get("lr") == "1e-3"
+    # Resuming with the override repeated: no drift, no warning.
+    capsys.readouterr()
+    trainvali.main(["--config", ini2, "--debug", "--set", "lr=1e-3"])
+    assert "DIFFERENT config" not in capsys.readouterr().out
 
 
 def test_serve(trained):
