@@ -171,6 +171,19 @@ def infer(model, state, dataset, feat_agg, outroot, report_every=10,
             override_cache[bs] = ov
         return ov
 
+    # One-deep vis pipeline: batch i's packed outputs start their
+    # device->host copy (copy_to_host_async) right after dispatch and
+    # are materialized+written while batch i+1 computes — the fetch
+    # no longer serializes with inference on tunneled hosts.
+    pending = []
+
+    def write_oldest():
+        staged, out_d, ids, nn_ids = pending.pop(0)
+        staged = jax.device_get(staged)
+        staged["id"] = ids
+        staged["nn_id"] = nn_ids
+        model.vis_batch(staged, out_d, "test")
+
     # Keep the remainder: every test view must be inferred.
     for batch_i, batch in enumerate(
             dataset.iterate(seed=0, drop_remainder=False)):
@@ -205,15 +218,21 @@ def infer(model, state, dataset, feat_agg, outroot, report_every=10,
         to_vis = apply_jit(state["params"], arrays, obs_override)
         outdir = join(outroot, "batch%09d" % batch_i)
         if not is_mp or jax.process_index() == 0:
-            # Coalesced fetch: one transfer for all vis fields instead
-            # of a tunnel round trip per field.
-            to_vis = jax.device_get(dict(to_vis))
-            to_vis["id"] = batch["id"]
-            to_vis["nn_id"] = batch["nn_id"]
-            model.vis_batch(to_vis, outdir, "test")
+            to_vis = dict(to_vis)
+            for v in to_vis.values():
+                try:
+                    v.copy_to_host_async()
+                except Exception:
+                    pass  # backend without async staging
+            pending.append((to_vis, outdir, batch["id"],
+                            batch["nn_id"]))
+            if len(pending) > 1:
+                write_oldest()
         batch_dirs.append(outdir)
         if (batch_i + 1) % report_every == 0:
             logger.info("Done inferring %d batches", batch_i + 1)
+    while pending:
+        write_oldest()
     if is_mp:
         # Host 0 may still be writing; everyone leaves infer() together
         # (the caller's video compilation reads these files).

@@ -526,34 +526,58 @@ def main(argv=None):
     _VIS_CACHE_CAP = 256
     vis_host_cache = {}  # id -> statics; dict preserves insert order
 
-    def fetch_vis(to_vis, meta):
+    def stage_vis(to_vis, meta):
+        """Pack on device and START the device->host copy of the
+        fields that must leave the device, WITHOUT blocking
+        (copy_to_host_async): the transfer overlaps the remaining
+        train/eval steps, and materialize_vis at vis-writing time
+        finds the bytes already staged. Cache-hit statics are
+        resolved here (host refs held in the staged dict) so LRU
+        eviction between stage and materialize cannot lose them."""
         if not dump_raw:
             to_vis = {k: v for k, v in to_vis.items()
                       if k not in ("pred", "gt")}
         packed = pack_vis(to_vis)
         ids = meta.get("id")
         statics_present = [k for k in _static_vis if k in packed]
-        # device_get fetches every field in one coalesced transfer;
-        # per-field np.asarray would pay a tunnel round trip each.
-        if ids and all(i in vis_host_cache for i in ids):
-            out = jax.device_get(
-                {k: v for k, v in packed.items()
-                 if k not in _static_vis})
-            for k in statics_present:
-                out[k] = np.stack(
-                    [vis_host_cache[i][k] for i in ids])
+        hit = bool(ids) and all(i in vis_host_cache for i in ids)
+        if hit:
+            fetch = {k: v for k, v in packed.items()
+                     if k not in _static_vis}
+            cached = {k: np.stack([vis_host_cache[i][k] for i in ids])
+                      for k in statics_present}
             for i in ids:  # refresh recency
                 vis_host_cache[i] = vis_host_cache.pop(i)
         else:
-            out = jax.device_get(dict(packed))
-            if ids:
-                for j, i in enumerate(ids):
-                    vis_host_cache.pop(i, None)  # re-insert as newest
-                    vis_host_cache[i] = {
-                        k: out[k][j] for k in statics_present}
-                while len(vis_host_cache) > _VIS_CACHE_CAP:
-                    vis_host_cache.pop(next(iter(vis_host_cache)))
-        out.update(meta)
+            fetch, cached = dict(packed), None
+        for v in fetch.values():
+            try:
+                v.copy_to_host_async()
+            except Exception:
+                pass  # backend without async staging: plain fetch later
+        return {"_staged": True, "fetch": fetch, "cached": cached,
+                "ids": ids, "statics_present": statics_present,
+                "meta": meta}
+
+    def materialize_vis(staged):
+        """Complete a stage_vis: one coalesced device_get (per-field
+        np.asarray would pay a tunnel round trip each), then the
+        statics-cache bookkeeping. Pass-through for already-host
+        dicts (the multi-process local-shard path)."""
+        if not (isinstance(staged, dict) and staged.get("_staged")):
+            return staged
+        out = jax.device_get(staged["fetch"])
+        ids = staged["ids"]
+        if staged["cached"] is not None:
+            out.update(staged["cached"])
+        elif ids:
+            for j, i in enumerate(ids):
+                vis_host_cache.pop(i, None)  # re-insert as newest
+                vis_host_cache[i] = {
+                    k: out[k][j] for k in staged["statics_present"]}
+            while len(vis_host_cache) > _VIS_CACHE_CAP:
+                vis_host_cache.pop(next(iter(vis_host_cache)))
+        out.update(staged["meta"])
         return out
 
     def fetch_vis_local(to_vis):
@@ -732,7 +756,10 @@ def main(argv=None):
             if (batch_i < vis_train_batches
                     and (epoch_i + 1) % ckpt_period == 0):
                 if not is_multiprocess:
-                    batch_vis.append(fetch_vis(to_vis, meta))
+                    # Staged, not fetched: the async copy overlaps the
+                    # remaining batches' compute instead of stalling
+                    # dispatch mid-epoch; materialized at vis-writing.
+                    batch_vis.append(stage_vis(to_vis, meta))
                 elif not tile_spatial:
                     local_vis = fetch_vis_local(to_vis)
                     if jax.process_index() == 0:
@@ -802,6 +829,7 @@ def main(argv=None):
                 texels / float(np.mean(batch_time)), step)
             vis_dirs = []
             for batch_i, to_vis in enumerate(batch_vis):
+                to_vis = materialize_vis(to_vis)
                 vis_dir = join(
                     train_vis_epoch_dir.format(e=step),
                     "batch%09d" % batch_i)
@@ -861,20 +889,24 @@ def main(argv=None):
                     continue
                 # Deferred like the train losses (batched fetch below):
                 # a float() here would serialize every vali batch on a
-                # tunnel round trip.
+                # tunnel round trip. Vis is staged (async copy) so the
+                # transfer overlaps the remaining eval batches.
                 v_loss.append(loss)
-                to_vis = fetch_vis(to_vis, meta)
-                v_vis.append(to_vis)
+                v_vis.append(stage_vis(to_vis, meta))
+            if is_host0:  # computation done everywhere; host 0 writes
+                v_loss = [float(x) for x in jax.device_get(v_loss)]
+                v_vis = [materialize_vis(s) for s in v_vis]
                 # Quantitative vali PSNR per epoch (the reference only
                 # writes PSNR into per-image vis metadata; a scalar
                 # series enables early checkpoint selection).
-                if "gt_camspc" in to_vis and hasattr(model, "psnr"):
-                    gt01 = imgutil.vis_to_float01(to_vis["gt_camspc"])
-                    pd01 = imgutil.vis_to_float01(to_vis["pred_camspc"])
-                    for i in range(pd01.shape[0]):
-                        v_psnr.append(model.psnr(gt01[i], pd01[i]))
-            if is_host0:  # computation done everywhere; host 0 writes
-                v_loss = [float(x) for x in jax.device_get(v_loss)]
+                for to_vis in v_vis:
+                    if "gt_camspc" in to_vis and hasattr(model, "psnr"):
+                        gt01 = imgutil.vis_to_float01(
+                            to_vis["gt_camspc"])
+                        pd01 = imgutil.vis_to_float01(
+                            to_vis["pred_camspc"])
+                        for i in range(pd01.shape[0]):
+                            v_psnr.append(model.psnr(gt01[i], pd01[i]))
                 writer_vali.scalar(
                     "loss_vali", float(np.mean(v_loss)), step)
                 if v_psnr:
