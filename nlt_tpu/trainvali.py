@@ -251,7 +251,11 @@ def main(argv=None):
     outdir = join(outroot, xname)
     overwrite = config.get_bool("overwrite")
     snapshot_f = outdir.rstrip("/") + ".ini"
-    if not overwrite and os.path.isfile(snapshot_f):
+    # Drift check on host 0 only: other processes could race host 0's
+    # concurrent snapshot rewrite below (truncated read -> spurious
+    # warning or parse error before the sync barrier).
+    if (jax.process_index() == 0 and not overwrite
+            and os.path.isfile(snapshot_f)):
         # Resuming an existing run: this command's config (base ini +
         # --set) wins — edit-and-continue (e.g. raising `epochs`) is
         # the reference's documented resume workflow — but any drift
@@ -371,7 +375,14 @@ def main(argv=None):
     # Checkpoint restore (epoch counter in the ckpt step number).
     ckptdir = join(outdir, "checkpoints")
     keep_recent = config.get_int("keep_recent_epochs", -1)
-    manager = ckpt_mod.CheckpointManager(ckptdir, max_to_keep=keep_recent)
+    # keep_best (default on): retention protects the best-psnr_vali
+    # epoch in ADDITION to the recency window, so the documented
+    # --step=best workflow survives long runs that drift past their
+    # best epoch (utils/checkpoint.py prune()).
+    keep_best = config.get_bool("keep_best", True)
+    manager = ckpt_mod.CheckpointManager(
+        ckptdir, max_to_keep=keep_recent,
+        keep_best_metric="psnr_vali" if keep_best else None)
     state, epoch_restored = manager.restore(state)
 
     # Warm start / fine-tuning: `init_from = <other outdir>/checkpoints`
@@ -905,15 +916,48 @@ def main(argv=None):
                             to_vis["gt_camspc"])
                         pd01 = imgutil.vis_to_float01(
                             to_vis["pred_camspc"])
+                        ids = to_vis.get("id") or [None] * pd01.shape[0]
                         for i in range(pd01.shape[0]):
-                            v_psnr.append(model.psnr(gt01[i], pd01[i]))
+                            v_psnr.append(
+                                (ids[i], model.psnr(gt01[i], pd01[i])))
                 writer_vali.scalar(
                     "loss_vali", float(np.mean(v_loss)), step)
                 if v_psnr:
-                    finite = [p for p in v_psnr if np.isfinite(p)]
+                    finite = [(i, p) for i, p in v_psnr
+                              if np.isfinite(p)]
                     if finite:
+                        vals = [p for _, p in finite]
+                        # Mean AND std over the holdout set: a single
+                        # held-out config gives a point estimate only;
+                        # multi-config holdouts (holdout_cam/light
+                        # lists) make the quality numbers statistical.
                         writer_vali.scalar(
-                            "psnr_vali", float(np.mean(finite)), step)
+                            "psnr_vali", float(np.mean(vals)), step)
+                        if len(vals) > 1:
+                            writer_vali.scalar(
+                                "psnr_vali_std",
+                                float(np.std(vals, ddof=1)), step)
+                            writer_vali.scalar(
+                                "psnr_vali_n", len(vals), step)
+                        if any(i for i, _ in finite):
+                            writer_vali.text(
+                                "psnr_vali_by_id", json.dumps(
+                                    {str(i): round(float(p), 4)
+                                     for i, p in finite}), step)
+                            # Multi-scene runs: per-scene means (ids
+                            # are namespaced '<scene>/<id>').
+                            by_scene = {}
+                            for i, p in finite:
+                                if i and "/" in str(i):
+                                    by_scene.setdefault(
+                                        str(i).rsplit("/", 1)[0],
+                                        []).append(p)
+                            if len(by_scene) > 1:
+                                for scene, ps in sorted(
+                                        by_scene.items()):
+                                    writer_vali.scalar(
+                                        "psnr_vali/%s" % scene,
+                                        float(np.mean(ps)), step)
                 vis_dirs = []
                 for batch_i, to_vis in enumerate(v_vis):
                     vis_dir = join(
@@ -928,6 +972,14 @@ def main(argv=None):
                     writer_vali.text("vis_vali", view_at, step)
                 maintain_epoch_queue(
                     vali_deque, vali_vis_epoch_dir.format(e=step))
+
+        # Keep-best retention: prune once this epoch's scalars are on
+        # disk (the step-N save happens BEFORE step N's vali psnr
+        # exists, so retention must re-evaluate here, not at save).
+        if step % ckpt_period == 0 or (
+                vali_batches and vali_period > 0
+                and step % vali_period == 0):
+            manager.prune()
 
         if device_cache is not None and step == epoch_restored + 1:
             st = device_cache.stats()

@@ -18,12 +18,64 @@ logger = logutil.Logger(loggee="utils/checkpoint")
 
 
 class CheckpointManager:
-    def __init__(self, ckptdir, max_to_keep=None):
+    def __init__(self, ckptdir, max_to_keep=None, keep_best_metric=None):
+        """keep_best_metric (e.g. 'psnr_vali'): retention keeps the
+        most recent max_to_keep steps PLUS the step with the best
+        logged validation metric — the documented `--step=best`
+        workflow must survive retention on long runs whose quality
+        drifts past the best epoch (RESULTS.md: ~0.4 dB late-run
+        overfit on small scenes). Orbax's own best_fn wants the metric
+        at save() time, but psnr_vali for step N is only computed by
+        the validation pass AFTER the step-N save, so retention is
+        done here: orbax keeps everything and prune() (called by the
+        driver once the epoch's scalars are on disk) deletes what
+        neither window protects. Reference counterpart (recency-only):
+        CheckpointManager(max_to_keep), nlt/trainvali.py:134-141."""
         if max_to_keep is not None and max_to_keep <= 0:
             max_to_keep = None  # keep all
+        self._dir = ckptdir
+        self._max_to_keep = max_to_keep
+        self._keep_best_metric = (
+            keep_best_metric if max_to_keep is not None else None)
         self._mgr = ocp.CheckpointManager(
             ckptdir,
-            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep))
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=(None if self._keep_best_metric
+                             else max_to_keep)))
+
+    def prune(self):
+        """Apply keep-best retention (no-op without keep_best_metric).
+        Call after the epoch's vali scalars are written, so a
+        just-saved step's metric counts. All processes call it (like
+        save); Orbax's delete handles multi-host coordination."""
+        if self._keep_best_metric is None or self._max_to_keep is None:
+            return
+        steps = sorted(int(s) for s in self._mgr.all_steps())
+        keep = set(steps[-self._max_to_keep:])
+        picked = best_step(self._dir, steps,
+                           metric=self._keep_best_metric)
+        if picked is not None:
+            keep.add(int(picked[0]))
+        kill = [s for s in steps if s not in keep]
+        if jax.process_count() > 1:
+            # delete() runs a multihost barrier per call, so every
+            # process must issue the SAME deletions. Host 0 owns the
+            # scalars log (other hosts may see it stale/absent):
+            # broadcast its kill list (fixed-size padded — broadcast
+            # needs one shape everywhere; >cap stragglers go next
+            # epoch).
+            from jax.experimental import multihost_utils
+            cap = 64
+            arr = np.full((cap,), -1, np.int64)
+            arr[:min(len(kill), cap)] = kill[:cap]
+            arr = multihost_utils.broadcast_one_to_all(arr)
+            kill = [int(s) for s in arr if s >= 0]
+        for s in kill:
+            try:
+                self._mgr.delete(s)
+            except Exception as e:
+                logger.warn("Retention could not delete step %d: "
+                            "%s", s, e)
 
     def save(self, step, state, force=False):
         """force=True overwrites an existing step (the preemption save
