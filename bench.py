@@ -135,6 +135,102 @@ def _bench_resample(batch, slope_time):
     return out
 
 
+def _bench_warm_loop(model, tx, batch_shape_args, n_examples=16,
+                     n_batches_sched=256, seed=7):
+    """Warm-epoch loop proxy: the trainvali steady-state body is THREE
+    device programs per batch (device-cache assemble + static-feature
+    gather + cached train step; tools/bench_loop.py measured the shape
+    floor at +2.3 ms over the bare step). Slope-timed over shuffled
+    example ids like a real epoch. Returns s/batch."""
+    import jax
+    import time as _time
+
+    from __graft_entry__ import _make_batch
+    from nlt_tpu.parallel import train as train_mod
+    from nlt_tpu.parallel.device_cache import DeviceExampleCache
+    from nlt_tpu.parallel.feat_cache import GTFeatureCache
+
+    bs, res = batch_shape_args
+    state = train_mod.init_state(model, tx, jax.random.PRNGKey(0))
+    step_cached = train_mod.make_train_step(
+        model, tx, with_vis=False, cached_statics=True)
+    extract = train_mod.make_static_extractor(model)
+
+    ids = ["ex%04d" % i for i in range(n_examples)]
+    rows = [_make_batch(1, res, res, seed=i) for i in range(n_examples)]
+    dcache = DeviceExampleCache()
+    fcache = GTFeatureCache(ids)
+    for b0 in range(0, n_examples, bs):
+        bids = ids[b0:b0 + bs]
+        host = {k: np.concatenate(
+            [rows[b0 + i][k] for i in range(len(bids))], 0)
+            for k in rows[0]}
+        arrays = dcache.shard_batch(None, host, bids)
+        statics = extract(state["params"], arrays)
+        assert fcache.insert(bids, statics)
+    host_proto = {k: np.concatenate(
+        [rows[i][k] for i in range(bs)], 0) for k in rows[0]}
+    rng = np.random.RandomState(seed)
+    sched = [[ids[j] for j in rng.choice(n_examples, bs, replace=False)]
+             for _ in range(n_batches_sched)]
+
+    def body(i, state):
+        bids = sched[i % len(sched)]
+        arrays = dcache.shard_batch(None, host_proto, bids)
+        statics = fcache.gather(bids)
+        return step_cached(state, arrays, statics)
+
+    state, loss = body(0, state)  # compile
+    float(loss)
+
+    def run(n, state, i0):
+        t0 = _time.perf_counter()
+        for i in range(n):
+            state, loss = body(i0 + i, state)
+        float(loss)
+        return _time.perf_counter() - t0, state
+
+    n1, n2, times = 8, 24, []
+    for r in range(3):
+        t1, state = run(n1, state, 97 * r)
+        t2, state = run(n2, state, 97 * r + n1)
+        times.append((t2 - t1) / (n2 - n1))
+    return float(np.median(times))
+
+
+def _bench_serving(res=512, depth=256):
+    """Cached serving latency at bs 1, uint8-packed responses (the
+    RESULTS.md serving headline shape): a Server over a fresh-init
+    state (compute is params-independent), zero obs pyramid (same
+    program shape as a baked pyramid), repeat-query path through the
+    device input cache."""
+    from __graft_entry__ import _make_batch
+    from nlt_tpu import serve as serve_mod
+    from nlt_tpu.utils.config import Config
+
+    cfg = Config({
+        "dataset": "nlt", "model": "nlt", "loss": "barron,1e+0lpips",
+        "imh": res, "imw": res, "uvh": res, "uvw": res,
+        "use_obs": True, "skip_connect_base": True,
+        "linear_space": False,
+        "depth0": 16, "depth": depth, "kernel": 2, "stride": 2,
+        "norm": "None", "act": "leakyrelu", "pool": "None",
+        "bs": 1, "compute_dtype": "bfloat16",
+        "lr": "1e-3", "data_root": "/nonexistent_bench_data",
+        "holdout_cam": "C00", "holdout_light": "L000",
+    })
+    server = serve_mod.Server(
+        "/tmp/nlt_bench_serve_ckpt", config=cfg, pack="uint8")
+    server.precompute_obs(dataset=None)  # no data: zero obs features
+    req = _make_batch(1, res, res, seed=3)
+    stats = server.benchmark(req, n=20, ids=["bench_req0"])
+    return {
+        "serving_cached_ms_per_request": round(
+            stats["latency_s"] * 1e3, 2),
+        "serving_cached_fps": round(stats["fps"], 1),
+    }
+
+
 def main():
     import jax
 
@@ -206,6 +302,11 @@ def main():
         "unit": "texels/s (fwd+bwd+update, 512 UV, bs 4, depth 256, "
                 "bf16 compute, steady state)",
         "vs_baseline": round(texels_per_sec / BASELINE_TEXELS_PER_SEC, 3),
+        # The TF2 reference was never runnable here (no TF in the
+        # image; BASELINE.md): the denominator is the documented
+        # ESTIMATE of the reference's era-GPU throughput, so the
+        # multiplier is directional, not a measured comparison.
+        "vs_baseline_estimated": True,
         "step_time_s": round(dt, 5),
         "step_time_uncached_gt_s": round(dt_unc16, 5),
         "step_time_f32_s": round(dt_c32, 5),
@@ -232,6 +333,34 @@ def main():
         rec.update(_bench_resample(batch, slope_time))
     except Exception as e:  # roofline probes must not kill the bench
         rec["roofline_error"] = repr(e)[:200]
+
+    # Secondary measured paths (VERDICT r4 #6): a regression in the
+    # sss-recipe step, the warm epoch loop, or serving must surface in
+    # the driver JSON, not only in RESULTS.md. Each probe is fenced —
+    # a failure reports instead of killing the headline.
+    try:
+        # dragon_sss-shaped step (depth 1024, cached bf16).
+        model_s = _make_model(RES, RES, 1024, BS,
+                              compute_dtype="bfloat16")
+        state_s = train_mod.init_state(model_s, tx, jax.random.PRNGKey(0))
+        step_s = train_mod.make_train_step(
+            model_s, tx, with_vis=True, cached_statics=True)
+        extract_s = train_mod.make_static_extractor(model_s)
+        statics_s = extract_s(state_s["params"], batch)
+        dt_sss, _ = measure(step_s, state_s, extra=(statics_s,))
+        rec["sss_step_time_s"] = round(dt_sss, 5)
+        del model_s, state_s, step_s, statics_s
+    except Exception as e:
+        rec["sss_error"] = repr(e)[:200]
+    try:
+        rec["warm_loop_s_per_batch"] = round(_bench_warm_loop(
+            _model, tx, (BS, RES)), 5)
+    except Exception as e:
+        rec["warm_loop_error"] = repr(e)[:200]
+    try:
+        rec.update(_bench_serving(RES, DEPTH))
+    except Exception as e:
+        rec["serving_error"] = repr(e)[:200]
     print(json.dumps(rec))
 
 
