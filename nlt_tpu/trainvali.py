@@ -123,9 +123,13 @@ def maintain_epoch_queue(queue_, new_epoch_dir):
             rmtree(epoch_dir, ignore_errors=True)
 
 
-# XLA's flat row gather degrades ~3.5x once a resampler take exceeds
-# this many rows (ops/resample.py; RESULTS.md batch-scaling — a bs-8
-# 512^2 step COLLAPSES 33.8 -> 110.7 ms).
+# XLA's flat row gather degrades ~3.5x once a 512^2 resampler take
+# exceeds this many rows (ops/resample.py; RESULTS.md batch-scaling —
+# a bs-8 512^2 step COLLAPSES 33.8 -> 110.7 ms). Measured round 5: the
+# collapse does NOT reproduce at 1024^2/bs 4 (4.2M rows, only ~6%
+# slower unfenced — tools/bench_1024.py), so it is not a pure
+# rows-per-take threshold; the fence stays because microbatching is
+# measured-optimal there anyway (equal speed, 3x smaller temp HBM).
 GATHER_CLIFF_ROWS = 1_500_000
 
 
