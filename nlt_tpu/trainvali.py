@@ -980,9 +980,11 @@ def main(argv=None):
         # Keep-best retention: prune once this epoch's scalars are on
         # disk (the step-N save happens BEFORE step N's vali psnr
         # exists, so retention must re-evaluate here, not at save).
-        if step % ckpt_period == 0 or (
-                vali_batches and vali_period > 0
-                and step % vali_period == 0):
+        # Only on ckpt epochs — the retained set can only change at a
+        # save, and on pod slices prune costs a broadcast (vali-only
+        # epochs must stay collective-free for the preemption tests'
+        # timing contract).
+        if step % ckpt_period == 0:
             manager.prune()
 
         if device_cache is not None and step == epoch_restored + 1:

@@ -51,6 +51,11 @@ class CheckpointManager:
         if self._keep_best_metric is None or self._max_to_keep is None:
             return
         steps = sorted(int(s) for s in self._mgr.all_steps())
+        if (jax.process_count() == 1
+                and len(steps) <= self._max_to_keep):
+            return  # nothing deletable (multi-process still broadcasts
+            # below — an early-out there could diverge across hosts on
+            # a transiently stale step listing and hang the collective)
         keep = set(steps[-self._max_to_keep:])
         picked = best_step(self._dir, steps,
                            metric=self._keep_best_metric)
