@@ -801,3 +801,46 @@ def test_trainvali_on_torus_regime_scene(tmp_path):
     assert len(losses) == 2 and all(np.isfinite(v) for v in losses)
     assert losses[1] < losses[0], losses
     assert glob(join(outdir, "vis_vali", "epoch*", "batch*", "*_pred.png"))
+
+
+def test_multi_scene_per_scene_vali_psnr(tmp_path, scene_root):
+    """Multi-scene runs report the holdout-set statistics: overall
+    psnr_vali mean/std/n over ALL held-out configs plus per-scene
+    means (psnr_vali/<scene>) and per-id traces (psnr_vali_by_id with
+    '<scene>/<id>' namespacing). This is the logging contract the
+    round-5 multi-scene flagship quality rows are read from (no
+    reference counterpart: the reference trains one scene per run and
+    logs a single vali PSNR; nlt/trainvali.py:219-233)."""
+    from nlt_tpu import trainvali
+    root2 = str(tmp_path / "sphere2")
+    subprocess.run(
+        [sys.executable, join(REPO, "data_gen", "synthesize.py"),
+         "--outroot", root2, "--n_cams", "3", "--n_lights", "3",
+         "--n_test", "1", "--imh", "32", "--uvs", "32", "--seed", "7"],
+        check=True, capture_output=True)
+    ini = write_ini(
+        tmp_path, scene_root, epochs=1,
+        data_root="%s,%s" % (scene_root, root2),
+        vali_batches=-1, xname="multiscene")
+    outdir = trainvali.main(["--config", ini])
+    recs = [json.loads(l) for l in
+            open(join(outdir, "summary_vali", "scalars.jsonl"))]
+    tags = {r["tag"] for r in recs}
+    # The default C02xL002 holdout hits both 3x3 scenes: 2 vali configs.
+    scene1 = os.path.basename(scene_root.rstrip("/"))
+    scene2 = os.path.basename(root2.rstrip("/"))
+    assert "psnr_vali" in tags
+    assert "psnr_vali_std" in tags and "psnr_vali_n" in tags
+    n = [r["value"] for r in recs if r["tag"] == "psnr_vali_n"]
+    assert n and n[0] == 2
+    assert "psnr_vali/%s" % scene1 in tags
+    assert "psnr_vali/%s" % scene2 in tags
+    by_id = [r["text"] for r in recs
+             if r["tag"] == "psnr_vali_by_id" and "text" in r]
+    assert by_id
+    ids = set(json.loads(by_id[-1]))
+    assert {i.split("/")[0] for i in ids} == {scene1, scene2}
+    # The overall mean is the mean over all configs, not scene means.
+    overall = [r["value"] for r in recs if r["tag"] == "psnr_vali"][-1]
+    per_id = json.loads(by_id[-1])
+    assert overall == pytest.approx(np.mean(list(per_id.values())), abs=1e-3)
